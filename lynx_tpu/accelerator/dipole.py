@@ -1,0 +1,237 @@
+"""Sector bending magnet with fringe fields.
+
+Reference behavior: ``lynx/accelerator/dipole.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lynx_tpu.accelerator.element import Element, matmul
+from lynx_tpu.ops.rmatrix import (
+    base_rmatrix,
+    build_rmatrix,
+    rotation_matrix,
+)
+
+Array = jax.Array
+
+
+class Dipole(Element):
+    """Dipole magnet (by default a sector bend).
+
+    :param length: Length in meters.
+    :param angle: Deflection angle in rad.
+    :param e1: Inclination of the entrance face in rad.
+    :param e2: Inclination of the exit face in rad.
+    :param tilt: Tilt in the x-y plane in rad.
+    :param fringe_integral: Fringe field integral of the entrance face.
+    :param fringe_integral_exit: Fringe field integral of the exit face
+        (defaults to the entrance value).
+    :param gap: Magnet gap in meters (MAD/ELEGANT HGAP = gap/2).
+    :param name: Unique identifier of the element.
+    """
+
+    _data_fields = (
+        "angle",
+        "e1",
+        "e2",
+        "tilt",
+        "fringe_integral",
+        "fringe_integral_exit",
+        "gap",
+    )
+
+    def __init__(
+        self,
+        length: Array,
+        angle: Optional[Array] = None,
+        e1: Optional[Array] = None,
+        e2: Optional[Array] = None,
+        tilt: Optional[Array] = None,
+        fringe_integral: Optional[Array] = None,
+        fringe_integral_exit: Optional[Array] = None,
+        gap: Optional[Array] = None,
+        name: Optional[str] = None,
+        dtype=jnp.float32,
+    ) -> None:
+        super().__init__(name=name, length=length, dtype=dtype)
+
+        def param(value):
+            return (
+                jnp.asarray(value, dtype=dtype)
+                if value is not None
+                else jnp.zeros_like(self.length)
+            )
+
+        self.angle = param(angle)
+        self.gap = param(gap)
+        self.tilt = param(tilt)
+        self.fringe_integral = param(fringe_integral)
+        self.fringe_integral_exit = (
+            self.fringe_integral
+            if fringe_integral_exit is None
+            else jnp.asarray(fringe_integral_exit, dtype=dtype)
+        )
+        self.e1 = param(e1)
+        self.e2 = param(e2)
+
+    @property
+    def hx(self) -> Array:
+        """Curvature angle/length, 0 for zero-length dipoles
+        (reference ``dipole.py:96-102``)."""
+        length_safe = jnp.where(self.length == 0, 1.0, self.length)
+        return jnp.where(self.length == 0, 0.0, self.angle / length_safe)
+
+    @property
+    def is_skippable(self) -> bool:
+        return True
+
+    @property
+    def is_active(self) -> bool:
+        return bool(jnp.any(self.angle != 0))
+
+    def transfer_map(self, energy: Array) -> Array:
+        R_enter = self._transfer_map_enter()
+        R_exit = self._transfer_map_exit()
+
+        # The reference picks the thin-corrector branch only when *all* batch
+        # entries have zero length (``dipole.py:119-133``); we select
+        # per-entry with a where, which also covers mixed batches.
+        body = base_rmatrix(
+            length=jnp.where(self.length == 0, 1.0, self.length),
+            k1=jnp.zeros_like(self.length),
+            hx=self.hx,
+            tilt=jnp.zeros_like(self.length),
+            energy=energy,
+        )  # tilt is applied after the edge maps
+        thin = build_rmatrix(
+            {
+                (0, 1): self.length,
+                (2, 6): self.angle,
+                (2, 3): self.length,
+            },
+            batch_shape=body.shape[:-2],
+            dtype=body.dtype,
+        )
+        is_thin = jnp.broadcast_to(
+            (self.length == 0)[..., None, None], body.shape
+        )
+        R = jnp.where(is_thin, thin, body)
+
+        # Fringe fields, then the tilt rotation sandwich.
+        R = matmul(R_exit, matmul(R, R_enter))
+        R = matmul(rotation_matrix(-self.tilt), matmul(R, rotation_matrix(self.tilt)))
+        return R
+
+    def _edge_map(self, e: Array, fringe_integral: Array) -> Array:
+        """Thin-wedge fringe map (reference ``dipole.py:143-181``)."""
+        sec_e = 1.0 / jnp.cos(e)
+        phi = fringe_integral * self.hx * self.gap * sec_e * (1 + jnp.sin(e) ** 2)
+        batch_shape = jnp.broadcast_shapes(phi.shape, self.length.shape)
+        return build_rmatrix(
+            {
+                (1, 0): self.hx * jnp.tan(e),
+                (3, 2): -self.hx * jnp.tan(e - phi),
+            },
+            batch_shape=batch_shape,
+            dtype=self.length.dtype,
+        )
+
+    def _transfer_map_enter(self) -> Array:
+        return self._edge_map(self.e1, self.fringe_integral)
+
+    def _transfer_map_exit(self) -> Array:
+        return self._edge_map(self.e2, self.fringe_integral_exit)
+
+    def broadcast(self, shape: tuple) -> Element:
+        return self.__class__(
+            length=jnp.broadcast_to(self.length, shape),
+            angle=jnp.broadcast_to(self.angle, shape),
+            e1=jnp.broadcast_to(self.e1, shape),
+            e2=jnp.broadcast_to(self.e2, shape),
+            tilt=jnp.broadcast_to(self.tilt, shape),
+            fringe_integral=jnp.broadcast_to(self.fringe_integral, shape),
+            fringe_integral_exit=jnp.broadcast_to(self.fringe_integral_exit, shape),
+            gap=jnp.broadcast_to(self.gap, shape),
+            name=self.name,
+        )
+
+    def split(self, resolution: float) -> list[Element]:
+        return [self]
+
+    def plot(self, ax, s: float) -> None:
+        import numpy as np
+        from matplotlib.patches import Rectangle
+
+        alpha = 1 if self.is_active else 0.2
+        height = 0.8 * (np.sign(float(self.angle.ravel()[0])) if self.is_active else 1)
+        patch = Rectangle(
+            (s, 0),
+            float(self.length.ravel()[0]),
+            height,
+            color="tab:green",
+            alpha=alpha,
+            zorder=2,
+        )
+        ax.add_patch(patch)
+
+    @property
+    def defining_features(self) -> list[str]:
+        return super().defining_features + [
+            "length",
+            "angle",
+            "e1",
+            "e2",
+            "tilt",
+            "fringe_integral",
+            "fringe_integral_exit",
+            "gap",
+        ]
+
+    def __repr__(self) -> str:
+        return (
+            f"{self.__class__.__name__}(length={self.length!r}, "
+            f"angle={self.angle!r}, e1={self.e1!r}, e2={self.e2!r}, "
+            f"tilt={self.tilt!r}, fringe_integral={self.fringe_integral!r}, "
+            f"fringe_integral_exit={self.fringe_integral_exit!r}, "
+            f"gap={self.gap!r}, name={self.name!r})"
+        )
+
+
+class RBend(Dipole):
+    """Rectangular bend: a Dipole with e1/e2 shifted by angle/2.
+
+    Reference behavior: ``lynx/accelerator/rbend.py``.
+    """
+
+    def __init__(
+        self,
+        length: Optional[Array],
+        angle: Optional[Array] = None,
+        e1: Optional[Array] = None,
+        e2: Optional[Array] = None,
+        tilt: Optional[Array] = None,
+        fringe_integral: Optional[Array] = None,
+        fringe_integral_exit: Optional[Array] = None,
+        gap: Optional[Array] = None,
+        name: Optional[str] = None,
+        dtype=jnp.float32,
+    ) -> None:
+        super().__init__(
+            length=length,
+            angle=angle,
+            e1=e1,
+            e2=e2,
+            tilt=tilt,
+            fringe_integral=fringe_integral,
+            fringe_integral_exit=fringe_integral_exit,
+            gap=gap,
+            name=name,
+            dtype=dtype,
+        )
+        self.e1 = self.e1 + self.angle / 2
+        self.e2 = self.e2 + self.angle / 2

@@ -1,0 +1,140 @@
+"""Element base class and the generic linear tracking rule.
+
+Reference behavior contract: ``lynx/accelerator/element.py``.
+
+Design: an element is a mutable pytree (see ``lynx_tpu._module``). Its
+``transfer_map(energy)`` is a pure function of its array fields, so the whole
+lattice traces cleanly under jit/grad/vmap.  All matmuls on the physics path
+use ``Precision.HIGHEST`` — TPU matmuls default to bf16, which is far too
+coarse for beam optics (positions at 1e-9..1e-3 m scales).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lynx_tpu._module import Module
+from lynx_tpu.particles import Beam, ParameterBeam, ParticleBeam
+from lynx_tpu.utils import UniqueNameGenerator
+
+Array = jax.Array
+
+generate_unique_name = UniqueNameGenerator(prefix="unnamed_element")
+
+#: Full-precision matmul for physics (TPU default is bf16 — not acceptable).
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def matmul(a: Array, b: Array) -> Array:
+    return jnp.matmul(a, b, precision=PRECISION)
+
+
+def apply_transfer_map(tm: Array, beam: Beam) -> Beam:
+    """Propagate a beam through a ``(..., 7, 7)`` linear map.
+
+    * ``ParameterBeam``: mu' = R mu ; cov' = R cov R^T
+    * ``ParticleBeam``:  P' = P R^T   (reference ``element.py:71-92``)
+    """
+    if beam is Beam.empty:
+        return beam
+    if isinstance(beam, ParameterBeam):
+        mu = matmul(tm, beam._mu[..., None])[..., 0]
+        cov = matmul(tm, matmul(beam._cov, jnp.swapaxes(tm, -2, -1)))
+        return ParameterBeam(
+            mu, cov, beam.energy, total_charge=beam.total_charge
+        )
+    if isinstance(beam, ParticleBeam):
+        particles = matmul(beam.particles, jnp.swapaxes(tm, -2, -1))
+        return ParticleBeam(
+            particles,
+            beam.energy,
+            particle_charges=beam.particle_charges,
+            survival=beam.survival,
+        )
+    raise TypeError(f"Parameter incoming is of invalid type {type(beam)}")
+
+
+class Element(Module):
+    """Base class for accelerator lattice elements.
+
+    :param name: Unique identifier of the element.
+    """
+
+    _data_fields = ("length",)
+    _static_fields = ("name",)
+
+    def __init__(
+        self,
+        name: Optional[str] = None,
+        length: Optional[Array] = None,
+        dtype=jnp.float32,
+    ) -> None:
+        self.name = name if name is not None else generate_unique_name()
+        self.length = jnp.asarray(
+            length if length is not None else jnp.zeros((1,)), dtype=dtype
+        )
+
+    # -- physics -----------------------------------------------------------
+    def transfer_map(self, energy: Array) -> Array:
+        r"""The element's ``(..., 7, 7)`` map over trace space
+        ``(x, x', y, y', s, p, 1)``; the constant 7th component carries affine
+        kicks (reference ``element.py:37-59``)."""
+        raise NotImplementedError
+
+    def track(self, incoming: Beam) -> Beam:
+        """Track a beam through the element (generic linear rule)."""
+        if incoming is Beam.empty:
+            return incoming
+        return apply_transfer_map(self.transfer_map(incoming.energy), incoming)
+
+    def __call__(self, incoming: Beam) -> Beam:
+        return self.track(incoming)
+
+    forward = __call__  # reference API parity (``element.py:96-98``)
+
+    # -- structure ---------------------------------------------------------
+    def broadcast(self, shape: tuple) -> "Element":
+        """Broadcast the element's parameters to higher batch dimensions."""
+        raise NotImplementedError
+
+    @property
+    def is_skippable(self) -> bool:
+        """Whether the element is purely linear so its map can be fused with
+        neighbouring maps during tracking."""
+        raise NotImplementedError
+
+    @property
+    def defining_features(self) -> list[str]:
+        """Feature names that define the element (for saving/equality)."""
+        return []
+
+    def split(self, resolution: float) -> list["Element"]:
+        """Split into slices no longer than ``resolution`` meters."""
+        raise NotImplementedError
+
+    def plot(self, ax, s: float) -> None:
+        """Draw a representation of this element at position ``s``."""
+        raise NotImplementedError
+
+    def __eq__(self, other) -> bool:
+        if type(self) is not type(other):
+            return NotImplemented
+        for feature in self.defining_features:
+            a, b = getattr(self, feature), getattr(other, feature)
+            if isinstance(a, jax.Array) or isinstance(b, jax.Array):
+                if jnp.shape(a) != jnp.shape(b) or not bool(
+                    jnp.all(jnp.asarray(a) == jnp.asarray(b))
+                ):
+                    return False
+            elif a != b:
+                return False
+        return True
+
+    def __hash__(self) -> int:
+        return id(self)
+
+    def __repr__(self) -> str:
+        return f"{self.__class__.__name__}(name={self.name!r})"
