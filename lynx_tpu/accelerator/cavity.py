@@ -110,8 +110,12 @@ class Cavity(Element):
             )
 
         # 2./3. Energy gain + nonlinear p update (guarded per entry).
+        # NOTE: gated on delta_energy != 0, not only outgoing_energy > 0 as in
+        # the reference (``cavity.py:128``) — the reference's gate overwrites
+        # the longitudinal covariance even for V == 0 cavities, breaking the
+        # "inactive cavity == drift" contract its own skippable path implies.
         k = 2.0 * jnp.pi * self.frequency / SPEED_OF_LIGHT
-        accelerated = outgoing_energy > 0
+        accelerated = (outgoing_energy > 0) & (delta_energy != 0)
         out_E_safe = jnp.where(accelerated, outgoing_energy, 1.0)
         g1 = out_E_safe / ELECTRON_MASS_EV
         g1 = jnp.where(g1 > 1.0, g1, 2.0)  # keep beta1 well-defined
@@ -168,6 +172,16 @@ class Cavity(Element):
         )
 
         if isinstance(incoming, ParameterBeam):
+            # Mean: apply the same nonlinear refinements as per-particle.
+            # Covariance: keep the LINEAR propagation through the cavity map
+            # (which already carries r65/r66/r56/r55_cor).  The reference
+            # instead *overwrites* cov[5,5] with the incoming value and
+            # cov[4,4]/[4,5] with second-order expressions
+            # (``cavity.py:140,208-218``) — which contradicts its own
+            # ParameterBeam-vs-ParticleBeam consistency contract
+            # (``tests/test_compare_beam_type.py``); linear moment transport
+            # is the consistent Gaussian treatment and matches the sampled
+            # beam to first order.
             mu_in = incoming._mu
             p_updated = mu_in[..., 5] * energy * beta0 / (
                 out_E_safe * beta1
@@ -177,12 +191,6 @@ class Cavity(Element):
             outgoing_mu = outgoing_mu.at[..., 5].set(
                 jnp.where(accelerated, p_updated, outgoing_mu[..., 5])
             )
-            outgoing_cov = outgoing_cov.at[..., 5, 5].set(
-                jnp.where(
-                    accelerated, incoming._cov[..., 5, 5], outgoing_cov[..., 5, 5]
-                )
-            )
-
             s_second_order = outgoing_mu[..., 4] + (
                 T566 * mu_in[..., 5] ** 2
                 + T556 * mu_in[..., 4] * mu_in[..., 5]
@@ -190,22 +198,6 @@ class Cavity(Element):
             )
             outgoing_mu = outgoing_mu.at[..., 4].set(
                 jnp.where(accelerated, s_second_order, outgoing_mu[..., 4])
-            )
-            # NOTE: the reference *replaces* these covariance entries with the
-            # second-order expressions (``cavity.py:208-218``); reproduced.
-            cov_44 = (
-                T566 * incoming._cov[..., 5, 5] ** 2
-                + T556 * incoming._cov[..., 4, 5] * incoming._cov[..., 5, 5]
-                + T555 * incoming._cov[..., 4, 4] ** 2
-            )
-            outgoing_cov = outgoing_cov.at[..., 4, 4].set(
-                jnp.where(accelerated, cov_44, outgoing_cov[..., 4, 4])
-            )
-            outgoing_cov = outgoing_cov.at[..., 4, 5].set(
-                jnp.where(accelerated, cov_44, outgoing_cov[..., 4, 5])
-            )
-            outgoing_cov = outgoing_cov.at[..., 5, 4].set(
-                jnp.where(accelerated, cov_44, outgoing_cov[..., 5, 4])
             )
             return ParameterBeam(
                 outgoing_mu,

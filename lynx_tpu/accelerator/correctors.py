@@ -79,7 +79,7 @@ class _Corrector(Element):
         split_elements = []
         total = float(jnp.max(self.length))
         remaining = total
-        while remaining > 0:
+        while remaining > 1e-6:  # ignore sub-micron float residue
             piece = min(float(resolution), remaining)
             length = jnp.full_like(self.length, piece)
             split_elements.append(

@@ -43,7 +43,7 @@ class Drift(Element):
     def split(self, resolution: float) -> list[Element]:
         split_elements = []
         remaining = float(jnp.max(self.length))
-        while remaining > 0:
+        while remaining > 1e-6:  # ignore sub-micron float residue
             piece = min(float(resolution), remaining)
             split_elements.append(
                 Drift(jnp.full_like(self.length, piece))

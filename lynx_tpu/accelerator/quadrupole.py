@@ -84,7 +84,7 @@ class Quadrupole(Element):
     def split(self, resolution: float) -> list[Element]:
         split_elements = []
         remaining = float(jnp.max(self.length))
-        while remaining > 0:
+        while remaining > 1e-6:  # ignore sub-micron float residue
             piece = min(float(resolution), remaining)
             split_elements.append(
                 Quadrupole(

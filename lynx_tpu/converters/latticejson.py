@@ -1,0 +1,131 @@
+"""LatticeJSON save/load — file-compatible with Cheetah's flavor.
+
+Format (reference ``lynx/latticejson.py``): a JSON document with metadata
+(``"version": "cheetah-0.6"``), an ``elements`` dict ``{name: [ClassName,
+params]}`` and a ``lattices`` dict of name -> cell lists, supporting nested
+sub-segments.  Files written by Cheetah load here and vice versa.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+import lynx_tpu
+
+
+def feature_to_plain(value: Any) -> Any:
+    """Convert a feature value to a JSON-serializable plain type."""
+    if isinstance(value, jax.Array):
+        return value.tolist()
+    if isinstance(value, tuple):
+        return list(value)
+    return value
+
+
+def plain_to_feature(value: Any) -> Any:
+    """Convert a plain JSON value back to an array where appropriate."""
+    return value if isinstance(value, (str, bool)) else jnp.asarray(value)
+
+
+#: defining_features names that do not match the constructor-argument /
+#: attribute name directly.
+_FEATURE_ATTR_ALIASES = {"transfer_map": "_transfer_map"}
+
+
+def convert_element(element: "lynx_tpu.Element") -> Tuple[str, str, dict]:
+    """Deconstruct an element into (name, class name, parameter dict)."""
+    params = {}
+    for feature in element.defining_features:
+        attr = _FEATURE_ATTR_ALIASES.get(feature, feature)
+        params[feature] = feature_to_plain(getattr(element, attr))
+    return element.name, element.__class__.__name__, params
+
+
+def convert_segment(segment: "lynx_tpu.Segment") -> Tuple[dict, dict]:
+    """Deconstruct a segment into elements and lattices dicts (recursive)."""
+    elements: dict = {}
+    lattices: dict = {}
+    cell = []
+    for element in segment.elements:
+        if isinstance(element, lynx_tpu.Segment):
+            sub_elements, sub_lattices = convert_segment(element)
+            elements.update(sub_elements)
+            lattices.update(sub_lattices)
+            element_name = element.name
+        else:
+            element_name, element_class, element_params = convert_element(element)
+            elements[element_name] = [element_class, element_params]
+        cell.append(element_name)
+    lattices[segment.name] = cell
+    return elements, lattices
+
+
+def save_cheetah_model(
+    segment: "lynx_tpu.Segment",
+    filename: str,
+    title: Optional[str] = None,
+    info: str = "This is a placeholder lattice description",
+) -> None:
+    """Save a segment as LatticeJSON (Cheetah-compatible ``version`` tag)."""
+    if title is None:
+        title = segment.name if segment.name is not None else "Unnamed Lattice"
+
+    lattice_dict = {
+        "version": "cheetah-0.6",
+        "title": title,
+        "info": info,
+        "root": segment.name if segment.name is not None else "cell",
+    }
+    elements, lattices = convert_segment(segment)
+    lattice_dict["elements"] = elements
+    lattice_dict["lattices"] = lattices
+
+    with open(filename, "w") as f:
+        f.write(json.dumps(lattice_dict, cls=CompactJSONEncoder, indent=4))
+
+
+class CompactJSONEncoder(json.JSONEncoder):
+    """JSON encoder that only indents the first two levels (keeps lattice
+    files human-scannable; format from nobeam/latticejson)."""
+
+    def encode(self, obj, level=0):
+        if isinstance(obj, dict) and level < 2:
+            items_indent = (level + 1) * self.indent * " "
+            items_string = ",\n".join(
+                f"{items_indent}{json.dumps(key)}: {self.encode(value, level=level + 1)}"
+                for key, value in obj.items()
+            )
+            dict_indent = level * self.indent * " "
+            newline = "\n" if level == 0 else ""
+            return f"{{\n{items_string}\n{dict_indent}}}{newline}"
+        return json.dumps(obj)
+
+
+def parse_element(name: str, lattice_dict: dict) -> "lynx_tpu.Element":
+    """Reconstruct one element from the ``elements`` table."""
+    class_name, params = lattice_dict["elements"][name]
+    element_class = getattr(lynx_tpu, class_name)
+    converted = {key: plain_to_feature(value) for key, value in params.items()}
+    return element_class(name=name, **converted)
+
+
+def parse_segment(name: str, lattice_dict: dict) -> "lynx_tpu.Segment":
+    """Reconstruct a segment (recursively resolving nested lattices)."""
+    elements = []
+    for element_name in lattice_dict["lattices"][name]:
+        if element_name in lattice_dict["lattices"]:
+            elements.append(parse_segment(element_name, lattice_dict))
+        else:
+            elements.append(parse_element(element_name, lattice_dict))
+    return lynx_tpu.Segment(elements=elements, name=name)
+
+
+def load_cheetah_model(filename: str) -> "lynx_tpu.Segment":
+    """Load a lattice from a LatticeJSON file."""
+    with open(filename, "r") as f:
+        lattice_dict = json.load(f)
+    return parse_segment(lattice_dict["root"], lattice_dict)

@@ -132,8 +132,10 @@ def base_rmatrix(
     igamma2 = igamma2_from_energy(energy, zero_value=1.0)
     beta = jnp.sqrt(1.0 - igamma2)
 
-    # Avoid k1 == 0 degeneracy exactly like the reference (k1 -> 1e-12).
-    k1 = jnp.where(k1 == 0, 1e-12, k1)
+    # Avoid k1 == 0 degeneracy exactly like the reference (k1 -> 1e-12), but
+    # as an ADDITIVE perturbation so d/dk1 still flows at k1 == 0 (a `where`
+    # replacement would zero the gradient there).
+    k1 = k1 + jnp.where(k1 == 0, 1e-12, 0.0)
     kx2 = k1 + hx**2
     ky2 = -k1
 
@@ -215,18 +217,26 @@ def cavity_rmatrix(
     frequency: Array,
     energy: Array,
 ) -> Array:
-    """Linear map of an accelerating RF cavity (pi-standing-wave model).
+    r"""Linear map of an accelerating RF cavity (pi-standing-wave model).
 
     Rosenzweig-Serafini-style transverse focusing plus the longitudinal
     (r55_cor, r56, r65, r66) block.  Reference behavior:
     ``lynx/accelerator/cavity.py:248-325``.
 
-    Branch-free extension over the reference: entries of the batch where the
-    cavity is effectively off (``V == 0``, ``E == 0`` or ``V cos(phi) == 0``)
-    fall back to the correct analytic limit (a drift in the transverse plane
-    plus the well-defined r65/r66 chirp terms) instead of producing NaNs.
-    This is required for vectorized lattices that mix on/off cavities in one
-    batch (reference test contract ``tests/test_vectorized.py:423-439``).
+    The formulas are *reparametrized* into a uniformly stable, branch-free
+    form (exactly equal to the reference's in real arithmetic), so that a
+    single expression covers V = 0, the zero-crossing phase (cos phi = 0) and
+    mixed on/off batches without NaNs — the reference's Python-level guards
+    cannot (contract: ``tests/test_vectorized.py:423-439``):
+
+    * ``alpha = sqrt(eta/8)/cos(phi) * ln(Ef/Ei)`` is rewritten via
+      ``ln(1+x)/x`` with ``x = V cos(phi)/E`` — no ``1/cos(phi)``.
+    * ``r12 = sqrt(8/eta) Ei/E' cos(phi) sin(alpha)`` becomes
+      ``sqrt(8/eta) L (Ei/V) sin(alpha)`` — no division by the energy gain.
+    * the ``(g0-g1)^2`` denominator of ``r55_cor`` cancels analytically:
+      ``g0 g1 (b0 b1 - 1) + 1 = -[(g0-g1)^2 + (g0 b0 - g1 b1)^2] /
+      (2 g0 g1 (1 + b0 b1))`` and ``(g0 b0 - g1 b1) = (g0-g1)(g0+g1)/(g0 b0
+      + g1 b1)``, so the quotient is evaluated without cancellation.
     """
     length = jnp.asarray(length)
     dtype = length.dtype
@@ -243,81 +253,80 @@ def cavity_rmatrix(
         for a in (length, voltage, phase, frequency, energy)
     )
 
+    eta = 1.0
     phi = jnp.deg2rad(phase)
     cos_phi = jnp.cos(phi)
-    delta_energy = voltage * cos_phi
-    # "On" = the accelerating branch of the formulas is non-degenerate.
-    is_on = (voltage != 0) & (energy != 0) & (delta_energy != 0)
+    sin_phi = jnp.sin(phi)
 
-    energy_safe = jnp.where(energy == 0, 1.0, energy)
-    Ei = energy_safe / ELECTRON_MASS_EV
-    Ef = (energy_safe + jnp.where(is_on, delta_energy, 0.0)) / ELECTRON_MASS_EV
-    Ef_safe = jnp.where(is_on, Ef, Ei + 1.0)  # avoid Ef == Ei in denominators
-    Ep = (Ef_safe - Ei) / length  # energy gain per meter (in units of m_e)
+    has_beam = energy != 0
+    Ei = jnp.where(has_beam, energy, 1.0) / ELECTRON_MASS_EV  # gamma_in
+    Vm = voltage / ELECTRON_MASS_EV
 
-    eta = 1.0
-    cos_phi_safe = jnp.where(cos_phi == 0, 1.0, cos_phi)
-    alpha = jnp.sqrt(eta / 8.0) / cos_phi_safe * jnp.log(Ef_safe / Ei)
+    x = Vm * cos_phi / Ei  # relative energy gain
+    Ef = Ei * (1.0 + x)  # gamma_out
+    # Valid = beam present and outgoing energy physically meaningful.
+    valid = has_beam & (Ef > 1.0)
+    Ef = jnp.where(valid, Ef, Ei)
+    x = jnp.where(valid, x, 0.0)
+
+    # ln(Ef/Ei)/x = ln(1+x)/x, -> 1 as x -> 0.
+    x_safe = jnp.where(x == 0, 1.0, x)
+    lx = jnp.where(x == 0, 1.0, jnp.log1p(x) / x_safe)
+    alpha = jnp.sqrt(eta / 8.0) * (Vm / Ei) * lx
     sin_alpha = jnp.sin(alpha)
+    cos_alpha = jnp.cos(alpha)
 
-    r11 = jnp.cos(alpha) - jnp.sqrt(2.0 / eta) * cos_phi * sin_alpha
-    # In Ocelot r12 uses a |Ep| > 10 guard; the reference (following Bmad)
-    # always uses the analytic expression (``cavity.py:266-269``).
-    r12 = jnp.sqrt(8.0 / eta) * Ei / Ep * cos_phi * sin_alpha
-    r21 = (
-        -Ep
-        / Ef_safe
-        * (cos_phi / jnp.sqrt(2.0 * eta) + jnp.sqrt(eta / 8.0) / cos_phi_safe)
-        * sin_alpha
+    r11 = cos_alpha - jnp.sqrt(2.0 / eta) * cos_phi * sin_alpha
+    # sin(alpha)/alpha -> 1 handles V -> 0 (r12 -> L, the drift limit).
+    Vm_safe = jnp.where(Vm == 0, 1.0, Vm)
+    r12 = jnp.where(
+        Vm == 0,
+        length,
+        jnp.sqrt(8.0 / eta) * length * (Ei / Vm_safe) * sin_alpha,
     )
-    r22 = Ei / Ef_safe * (jnp.cos(alpha) + jnp.sqrt(2.0 / eta) * cos_phi * sin_alpha)
+    r21 = (
+        -(Vm / (length * Ef))
+        * sin_alpha
+        * (cos_phi**2 / jnp.sqrt(2.0 * eta) + jnp.sqrt(eta / 8.0))
+    )
+    r22 = Ei / Ef * (cos_alpha + jnp.sqrt(2.0 / eta) * cos_phi * sin_alpha)
 
     beta0 = jnp.sqrt(1.0 - 1.0 / Ei**2)
-    beta1 = jnp.sqrt(1.0 - 1.0 / Ef_safe**2)
+    beta1 = jnp.sqrt(1.0 - 1.0 / Ef**2)
 
     k = 2.0 * jnp.pi * frequency / SPEED_OF_LIGHT
-    r56_on = (
-        -length / (Ef_safe**2 * Ei * beta1) * (Ef_safe + Ei) / (beta1 + beta0)
-    )
-    g0 = Ei
-    g1 = Ef_safe
-    dg = jnp.where(is_on, g0 - g1, 1.0)
+    # Identical to drift r56 when V == 0 (verified analytically).
+    r56 = -length / (Ef**2 * Ei * beta1) * (Ef + Ei) / (beta1 + beta0)
+    # Cancellation-free r55 correction (see docstring).
+    g0, g1 = Ei, Ef
+    gb_sum = g0 * beta0 + g1 * beta1
+    ratio = (g0 + g1) / jnp.where(gb_sum == 0, 1.0, gb_sum)
     r55_cor = (
-        k
+        -k
         * length
         * beta0
-        * voltage
-        / ELECTRON_MASS_EV
-        * jnp.sin(phi)
-        * (g0 * g1 * (beta0 * beta1 - 1.0) + 1.0)
-        / (beta1 * g1 * dg**2)
+        * Vm
+        * sin_phi
+        * (1.0 + ratio**2)
+        / (2.0 * g0 * g1 * (1.0 + beta0 * beta1) * beta1 * g1)
     )
 
-    # r65/r66 are well-defined even at the zero-crossing (V cos(phi) == 0).
-    Ef_actual = (energy_safe + delta_energy) / ELECTRON_MASS_EV
-    Ef_actual_safe = jnp.where(Ef_actual > 1.0, Ef_actual, Ei)
-    beta1_actual = jnp.sqrt(1.0 - 1.0 / Ef_actual_safe**2)
-    has_beam = energy != 0
-    r66 = jnp.where(
-        has_beam, Ei / Ef_actual_safe * beta0 / beta1_actual, 1.0
-    )
-    r65 = jnp.where(
-        has_beam & (voltage != 0),
-        k * jnp.sin(phi) * voltage / (Ef_actual_safe * beta1_actual * ELECTRON_MASS_EV),
-        0.0,
-    )
+    r66 = Ei / Ef * beta0 / beta1
+    r65 = k * sin_phi * Vm / (Ef * beta1)
 
-    # Drift fallback for degenerate entries (the analytic V -> 0 limit).
+    # Invalid entries (no beam / fully decelerated): identity-but-drift map.
     igamma2 = igamma2_from_energy(energy, zero_value=0.0)
     beta2 = 1.0 - igamma2
     drift_r56 = -length * _safe_div(igamma2, beta2, fallback=0.0)
 
-    r11 = jnp.where(is_on, r11, 1.0)
-    r12 = jnp.where(is_on, r12, length)
-    r21 = jnp.where(is_on, r21, 0.0)
-    r22 = jnp.where(is_on, r22, 1.0)
-    r56 = jnp.where(is_on, r56_on, drift_r56)
-    r55 = jnp.where(is_on, 1.0 + r55_cor, 1.0)
+    r11 = jnp.where(valid, r11, 1.0)
+    r12 = jnp.where(valid, r12, length)
+    r21 = jnp.where(valid, r21, 0.0)
+    r22 = jnp.where(valid, r22, 1.0)
+    r55 = jnp.where(valid, 1.0 + r55_cor, 1.0)
+    r56 = jnp.where(valid, r56, drift_r56)
+    r65 = jnp.where(valid, r65, 0.0)
+    r66 = jnp.where(valid, r66, 1.0)
 
     return build_rmatrix(
         {

@@ -1,0 +1,105 @@
+"""Element splitting (mirrors reference ``tests/test_split.py``; the
+drift/quad/corrector splits that are xfail upstream are implemented correctly
+here and must pass)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lynx_tpu as lt
+
+
+def _beam():
+    return lt.ParticleBeam.from_parameters(
+        num_particles=5_000,
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_xp=jnp.array([2e-5]),
+        energy=jnp.array([1e8]),
+    )
+
+
+@pytest.mark.parametrize(
+    "element",
+    [
+        lt.Drift(length=jnp.array([1.0])),
+        lt.Quadrupole(length=jnp.array([0.6]), k1=jnp.array([4.2])),
+    ],
+    ids=["drift", "quadrupole"],
+)
+def test_split_end_state_equals_unsplit(element):
+    beam = _beam()
+    unsplit = element.track(beam)
+    split_segment = lt.Segment(element.split(resolution=0.13))
+    split_out = split_segment.track(beam)
+    np.testing.assert_allclose(
+        np.asarray(split_out.particles),
+        np.asarray(unsplit.particles),
+        rtol=1e-4,
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        float(split_segment.length.ravel()[0]),
+        float(element.length.ravel()[0]),
+        rtol=1e-6,
+    )
+
+
+@pytest.mark.parametrize(
+    "cls", [lt.HorizontalCorrector, lt.VerticalCorrector], ids=["hcor", "vcor"]
+)
+def test_corrector_split_distributes_kick(cls):
+    """A split corrector applies the same total kick; transverse positions
+    differ at O(angle * L) because the distributed kick acts within the
+    element (the split is the physically finer model)."""
+    element = cls(length=jnp.array([0.4]), angle=jnp.array([1e-4]))
+    beam = _beam()
+    unsplit = element.track(beam)
+    pieces = element.split(resolution=0.13)
+    np.testing.assert_allclose(
+        sum(float(p.angle[0]) for p in pieces), 1e-4, rtol=1e-6
+    )
+    split_out = lt.Segment(pieces).track(beam)
+    # Same total kick...
+    np.testing.assert_allclose(
+        np.asarray(split_out.mu_xp), np.asarray(unsplit.mu_xp),
+        rtol=1e-5, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(split_out.mu_yp), np.asarray(unsplit.mu_yp),
+        rtol=1e-5, atol=1e-12,
+    )
+    # ...and positions within the distributed-kick bound.
+    assert abs(float(split_out.mu_x[0]) - float(unsplit.mu_x[0])) < 1e-4 * 0.4
+    assert abs(float(split_out.mu_y[0]) - float(unsplit.mu_y[0])) < 1e-4 * 0.4
+
+
+@pytest.mark.parametrize(
+    "element",
+    [
+        lt.Cavity(
+            length=jnp.array([1.0]),
+            voltage=jnp.array([1e7]),
+            frequency=jnp.array([1.3e9]),
+        ),
+        lt.Solenoid(length=jnp.array([0.5]), k=jnp.array([1.0])),
+        lt.Dipole(length=jnp.array([0.4]), angle=jnp.array([0.1])),
+        lt.Undulator(length=jnp.array([0.5])),
+    ],
+    ids=["cavity", "solenoid", "dipole", "undulator"],
+)
+def test_unsplittable_elements_return_self(element):
+    assert element.split(resolution=0.1) == [element]
+
+
+def test_segment_split_concatenates():
+    segment = lt.Segment(
+        [
+            lt.Drift(length=jnp.array([0.5])),
+            lt.Quadrupole(length=jnp.array([0.2]), k1=jnp.array([4.2])),
+        ]
+    )
+    splits = segment.split(resolution=0.1)
+    assert len(splits) == 5 + 2
+    np.testing.assert_allclose(
+        sum(float(s.length.ravel()[0]) for s in splits), 0.7, rtol=1e-6
+    )
