@@ -1,0 +1,203 @@
+"""ARES-EA transverse beam-tuning environment.
+
+The reference's flagship RL workload (its README and
+``docs/examples/gradientbased.ipynb``): tune the 3 quadrupoles and 2
+correctors of the ARES Experimental Area so the beam hits a target position
+and size on the AREABSCR1 screen.
+
+Design: a *functional* environment in the jax-rl style (pure ``reset`` /
+``step`` over an explicit ``EnvState``), so the whole environment vectorizes
+with ``vmap`` and shards over device meshes — thousands of env instances per
+chip is the normal operating mode (this is what replaces the reference's
+in-process ``broadcast`` batching for RL).  A Gymnasium adapter is provided
+for drop-in use with standard RL libraries.
+
+Action: 5 deltas/settings ``(k1_Q1, k1_Q2, k1_Q3, angle_CV, angle_CH)``.
+Observation: current magnet settings + beam parameters on the screen
+``(mu_x, sigma_x, mu_y, sigma_y)`` + target beam parameters.
+Reward: negative L1 distance between observed and target beam parameters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+import lynx_tpu as lt
+from lynx_tpu.functional import track
+from lynx_tpu.models import ares_ea_segment
+
+Array = jax.Array
+
+#: Action scaling: max |k1| for quads (1/m^2), max |angle| for correctors (rad).
+MAGNET_LIMITS = jnp.array([30.0, 30.0, 30.0, 6e-3, 6e-3], dtype=jnp.float32)
+
+
+class EnvParams(NamedTuple):
+    """Static-ish environment configuration (a pytree; vmap-able)."""
+
+    target: Array  # (4,) target (mu_x, sigma_x, mu_y, sigma_y) on the screen
+    incoming_mu: Array  # (4,) incoming beam (mu_x, mu_xp, mu_y, mu_yp)
+    incoming_sigma: Array  # (4,) incoming (sigma_x, sigma_xp, sigma_y, sigma_yp)
+    energy: Array  # () beam energy in eV
+    max_steps: int = 50
+
+
+class EnvState(NamedTuple):
+    magnets: Array  # (5,) current magnet settings (normalized to [-1, 1])
+    step_count: Array  # () int32
+    key: Array  # PRNG key
+
+
+def default_params(key: Optional[Array] = None) -> EnvParams:
+    """Randomized-target default parameters (mirrors the ARES-EA task)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_target, k_mu = jax.random.split(key)
+    target_pos = jax.random.uniform(k_target, (2,), minval=-2e-3, maxval=2e-3)
+    target_size = jax.random.uniform(k_target, (2,), minval=1e-5, maxval=1e-3)
+    target = jnp.stack(
+        [target_pos[0], target_size[0], target_pos[1], target_size[1]]
+    )
+    incoming_mu = jax.random.uniform(k_mu, (4,), minval=-1e-4, maxval=1e-4)
+    return EnvParams(
+        target=target,
+        incoming_mu=incoming_mu,
+        incoming_sigma=jnp.array([1.75e-4, 2e-5, 1.75e-4, 2e-5]),
+        energy=jnp.array(1.073e8),
+    )
+
+
+class AresEATransverseTuning:
+    """Functional ARES-EA tuning environment over ParameterBeam physics.
+
+    All methods are pure; wrap with ``jax.vmap`` for vectorized instances and
+    ``jax.jit`` for compilation.  The lattice is traced once at construction.
+    """
+
+    num_actions = 5
+    obs_size = 5 + 4 + 4  # magnets + current beam params + target
+
+    def __init__(self) -> None:
+        segment = ares_ea_segment()
+        segment.AREABSCR1.is_active = False
+        self._segment = segment
+
+    # -- physics -----------------------------------------------------------
+    def beam_parameters(self, magnets: Array, params: EnvParams) -> Array:
+        """Track the incoming beam and return (mu_x, sigma_x, mu_y, sigma_y)
+        at the screen position."""
+        settings = magnets * MAGNET_LIMITS
+        segment = self._segment
+        # Functional magnet update: replace the tuned elements' strengths.
+        elements = []
+        for element in segment.elements:
+            if element.name == "AREAMQZM1":
+                element = element.replace(k1=settings[0][None])
+            elif element.name == "AREAMQZM2":
+                element = element.replace(k1=settings[1][None])
+            elif element.name == "AREAMQZM3":
+                element = element.replace(k1=settings[2][None])
+            elif element.name == "AREAMCVM1":
+                element = element.replace(angle=settings[3][None])
+            elif element.name == "AREAMCHM1":
+                element = element.replace(angle=settings[4][None])
+            elements.append(element)
+        tuned = lt.Segment(elements, name=segment.name)
+
+        beam = lt.ParameterBeam.from_parameters(
+            mu_x=params.incoming_mu[0][None],
+            mu_xp=params.incoming_mu[1][None],
+            mu_y=params.incoming_mu[2][None],
+            mu_yp=params.incoming_mu[3][None],
+            sigma_x=params.incoming_sigma[0][None],
+            sigma_xp=params.incoming_sigma[1][None],
+            sigma_y=params.incoming_sigma[2][None],
+            sigma_yp=params.incoming_sigma[3][None],
+            energy=params.energy[None],
+        )
+        outgoing, _ = track(tuned, beam)
+        return jnp.stack(
+            [
+                outgoing.mu_x[0],
+                outgoing.sigma_x[0],
+                outgoing.mu_y[0],
+                outgoing.sigma_y[0],
+            ]
+        )
+
+    # -- env API -----------------------------------------------------------
+    def observation(self, state: EnvState, params: EnvParams) -> Array:
+        beam = self.beam_parameters(state.magnets, params)
+        return jnp.concatenate([state.magnets, beam * 1e3, params.target * 1e3])
+
+    def reset(self, key: Array, params: EnvParams) -> Tuple[Array, EnvState]:
+        key, k_magnets = jax.random.split(key)
+        magnets = jax.random.uniform(
+            k_magnets, (self.num_actions,), minval=-0.5, maxval=0.5
+        )
+        state = EnvState(
+            magnets=magnets, step_count=jnp.zeros((), jnp.int32), key=key
+        )
+        return self.observation(state, params), state
+
+    def step(
+        self, state: EnvState, action: Array, params: EnvParams
+    ) -> Tuple[Array, EnvState, Array, Array]:
+        """Apply a (clipped) absolute magnet setting; return
+        (obs, next_state, reward, done)."""
+        magnets = jnp.clip(action, -1.0, 1.0)
+        next_state = EnvState(
+            magnets=magnets,
+            step_count=state.step_count + 1,
+            key=state.key,
+        )
+        beam = self.beam_parameters(magnets, params)
+        reward = -jnp.sum(jnp.abs(beam - params.target)) * 1e3
+        done = next_state.step_count >= params.max_steps
+        obs = jnp.concatenate([magnets, beam * 1e3, params.target * 1e3])
+        return obs, next_state, reward, done
+
+
+def make_env() -> AresEATransverseTuning:
+    return AresEATransverseTuning()
+
+
+try:  # pragma: no cover - optional dependency adapter
+    import gymnasium
+    import numpy as np
+
+    class AresEAGymEnv(gymnasium.Env):
+        """Gymnasium adapter around the functional environment."""
+
+        metadata = {"render_modes": []}
+
+        def __init__(self, params: Optional[EnvParams] = None, seed: int = 0):
+            self._env = make_env()
+            self._params = params if params is not None else default_params()
+            self._key = jax.random.PRNGKey(seed)
+            self._step = jax.jit(self._env.step)
+            self._reset = jax.jit(self._env.reset)
+            self.action_space = gymnasium.spaces.Box(
+                low=-1.0, high=1.0, shape=(self._env.num_actions,)
+            )
+            self.observation_space = gymnasium.spaces.Box(
+                low=-np.inf, high=np.inf, shape=(self._env.obs_size,)
+            )
+
+        def reset(self, *, seed=None, options=None):
+            if seed is not None:
+                self._key = jax.random.PRNGKey(seed)
+            self._key, sub = jax.random.split(self._key)
+            obs, self._state = self._reset(sub, self._params)
+            return np.asarray(obs), {}
+
+        def step(self, action):
+            obs, self._state, reward, done = self._step(
+                self._state, jnp.asarray(action), self._params
+            )
+            return np.asarray(obs), float(reward), bool(done), False, {}
+
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,80 @@
+"""ARES-EA tuning environment: vectorization and learning-signal checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lynx_tpu.envs import make_env
+from lynx_tpu.envs.ares_ea import default_params
+
+
+def test_reset_step_shapes():
+    env = make_env()
+    params = default_params()
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    assert obs.shape == (env.obs_size,)
+    action = jnp.zeros((env.num_actions,))
+    obs2, state2, reward, done = env.step(state, action, params)
+    assert obs2.shape == (env.obs_size,)
+    assert jnp.isfinite(reward)
+    assert not bool(done)
+    assert int(state2.step_count) == 1
+
+
+def test_vmap_over_env_instances():
+    env = make_env()
+    n = 32
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    params = jax.vmap(default_params)(jax.random.split(jax.random.PRNGKey(1), n))
+
+    reset = jax.jit(jax.vmap(env.reset))
+    obs, states = reset(keys, params)
+    assert obs.shape == (n, env.obs_size)
+
+    step = jax.jit(jax.vmap(env.step))
+    actions = jnp.zeros((n, env.num_actions))
+    obs2, states2, rewards, dones = step(states, actions, params)
+    assert obs2.shape == (n, env.obs_size)
+    assert rewards.shape == (n,)
+    assert bool(jnp.all(jnp.isfinite(rewards)))
+
+
+def test_actions_change_reward():
+    env = make_env()
+    params = default_params()
+    _, state = env.reset(jax.random.PRNGKey(0), params)
+    _, _, r0, _ = env.step(state, jnp.zeros(5), params)
+    _, _, r1, _ = env.step(state, jnp.array([0.5, -0.5, 0.3, 0.1, -0.1]), params)
+    assert float(r0) != float(r1)
+
+
+def test_reward_is_differentiable():
+    """Gradient-based tuning through the env's physics (the gradientbased
+    notebook workflow)."""
+    env = make_env()
+    params = default_params()
+
+    def neg_reward(action):
+        beam = env.beam_parameters(jnp.clip(action, -1, 1), params)
+        return jnp.sum(jnp.abs(beam - params.target))
+
+    g = jax.grad(neg_reward)(jnp.array([0.1, -0.1, 0.2, 0.0, 0.0]))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_gradient_descent_improves_reward():
+    env = make_env()
+    params = default_params()
+
+    def loss(action):
+        beam = env.beam_parameters(action, params)
+        return jnp.sum(jnp.abs(beam - params.target))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    action = jnp.zeros(5)
+    first, _ = grad_fn(action)
+    for _ in range(200):
+        value, g = grad_fn(action)
+        action = jnp.clip(action - 0.03 * jnp.sign(g), -1, 1)
+    assert float(value) < float(first)
