@@ -15,6 +15,7 @@ from lynx_tpu.ops.rmatrix import (
     base_rmatrix,
     build_rmatrix,
     rotation_matrix,
+    sandwich,
 )
 
 Array = jax.Array
@@ -123,8 +124,8 @@ class Dipole(Element):
         R = jnp.where(is_thin, thin, body)
 
         # Fringe fields, then the tilt rotation sandwich.
-        R = matmul(R_exit, matmul(R, R_enter))
-        R = matmul(rotation_matrix(-self.tilt), matmul(R, rotation_matrix(self.tilt)))
+        R = sandwich(R_exit, R, R_enter)
+        R = sandwich(rotation_matrix(-self.tilt), R, rotation_matrix(self.tilt))
         return R
 
     def _edge_map(self, e: Array, fringe_integral: Array) -> Array:

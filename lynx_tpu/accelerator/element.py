@@ -37,12 +37,47 @@ def apply_transfer_map(tm: Array, beam: Beam) -> Beam:
 
     * ``ParameterBeam``: mu' = R mu ; cov' = R cov R^T
     * ``ParticleBeam``:  P' = P R^T   (reference ``element.py:71-92``)
+
+    For large batches the moment propagation runs in batch-last layout
+    (batch on the lane axes -> VPU) — tiny batched 7x7 matmuls are
+    pathologically slow on the MXU.
     """
     if beam is Beam.empty:
         return beam
     if isinstance(beam, ParameterBeam):
-        mu = matmul(tm, beam._mu[..., None])[..., 0]
-        cov = matmul(tm, matmul(beam._cov, jnp.swapaxes(tm, -2, -1)))
+        batch_shape = jnp.broadcast_shapes(tm.shape[:-2], beam.energy.shape)
+        flat_batch = 1
+        for dim in batch_shape:
+            flat_batch *= dim
+        if flat_batch >= 512:
+            tm_bl = jnp.moveaxis(
+                jnp.broadcast_to(tm, (*batch_shape, 7, 7)), (-2, -1), (0, 1)
+            )
+            mu_bl = jnp.moveaxis(
+                jnp.broadcast_to(beam._mu, (*batch_shape, 7)), -1, 0
+            )
+            cov_bl = jnp.moveaxis(
+                jnp.broadcast_to(beam._cov, (*batch_shape, 7, 7)), (-2, -1), (0, 1)
+            )
+            mu = jnp.moveaxis(
+                jnp.einsum("ij...,j...->i...", tm_bl, mu_bl, precision=PRECISION),
+                0,
+                -1,
+            )
+            cov = jnp.moveaxis(
+                jnp.einsum(
+                    "ij...,jk...,lk...->il...",
+                    tm_bl,
+                    cov_bl,
+                    tm_bl,
+                    precision=PRECISION,
+                ),
+                (0, 1),
+                (-2, -1),
+            )
+        else:
+            mu = matmul(tm, beam._mu[..., None])[..., 0]
+            cov = matmul(tm, matmul(beam._cov, jnp.swapaxes(tm, -2, -1)))
         return ParameterBeam(
             mu, cov, beam.energy, total_charge=beam.total_charge
         )

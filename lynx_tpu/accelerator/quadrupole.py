@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from lynx_tpu.accelerator.element import Element, matmul
-from lynx_tpu.ops.rmatrix import base_rmatrix, misalignment_matrix
+from lynx_tpu.ops.rmatrix import base_rmatrix, misalignment_matrix, sandwich
 
 Array = jax.Array
 
@@ -62,7 +62,7 @@ class Quadrupole(Element):
         # Misalignment sandwich R_exit @ R @ R_entry; exact identity when the
         # misalignment is zero, so applied unconditionally (branch-free).
         R_entry, R_exit = misalignment_matrix(self.misalignment)
-        return matmul(R_exit, matmul(R, R_entry))
+        return sandwich(R_exit, R, R_entry)
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

@@ -22,10 +22,17 @@ from lynx_tpu.accelerator.custom_transfer_map import CustomTransferMap
 from lynx_tpu.accelerator.drift import Drift
 from lynx_tpu.accelerator.element import Element, apply_transfer_map
 from lynx_tpu.accelerator.marker import Marker
-from lynx_tpu.ops.folding import fold_transfer_maps
+from lynx_tpu.ops.folding import (
+    fold_transfer_maps,
+    fold_transfer_maps_batch_last,
+)
 from lynx_tpu.particles import Beam, ParticleBeam
 
 Array = jax.Array
+
+#: Flat batch size above which map folding switches to the batch-last
+#: (VPU-lane) layout — see ``ops/folding.py``.
+BATCH_LAST_THRESHOLD = 512
 
 
 def stacked_transfer_map(elements: list[Element], energy: Array) -> Array:
@@ -34,7 +41,14 @@ def stacked_transfer_map(elements: list[Element], energy: Array) -> Array:
     if len(maps) == 1:
         return maps[0]
     batch_shape = jnp.broadcast_shapes(*(m.shape[:-2] for m in maps))
+    flat_batch = 1
+    for dim in batch_shape:
+        flat_batch *= dim
     maps = [jnp.broadcast_to(m, (*batch_shape, 7, 7)) for m in maps]
+    if flat_batch >= BATCH_LAST_THRESHOLD:
+        maps_bl = [jnp.moveaxis(m, (-2, -1), (0, 1)) for m in maps]
+        total = fold_transfer_maps_batch_last(maps_bl)
+        return jnp.moveaxis(total, (0, 1), (-2, -1))
     return fold_transfer_maps(jnp.stack(maps, axis=0))
 
 

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from lynx_tpu.accelerator.element import Element, matmul
 from lynx_tpu.constants import REST_ENERGY_EV
-from lynx_tpu.ops.rmatrix import build_rmatrix, misalignment_matrix
+from lynx_tpu.ops.rmatrix import build_rmatrix, misalignment_matrix, sandwich
 
 Array = jax.Array
 
@@ -91,7 +91,7 @@ class Solenoid(Element):
         )
 
         R_entry, R_exit = misalignment_matrix(self.misalignment)
-        return matmul(R_exit, matmul(R, R_entry))
+        return sandwich(R_exit, R, R_entry)
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

@@ -27,9 +27,49 @@ def fold_transfer_maps(maps: Array) -> Array:
     while maps.shape[0] > 1:
         n = maps.shape[0]
         even = n - (n % 2)
-        paired = jnp.matmul(maps[1:even:2], maps[0:even:2])
+        paired = jnp.matmul(
+            maps[1:even:2], maps[0:even:2], precision=jax.lax.Precision.HIGHEST
+        )
         if n % 2:
             maps = jnp.concatenate([paired, maps[-1:]], axis=0)
         else:
             maps = paired
+    return maps[0]
+
+
+def fold_transfer_maps_batch_last(maps: list[Array]) -> Array:
+    """Compose a list of maps held in batch-last layout ``(7, 7, ...)``.
+
+    Large-batch fast path: with the batch dimension on the trailing (lane)
+    axes, a 7x7 composition lowers to 49x7 vectorized multiply-adds on the
+    VPU instead of tiny batched MXU matmuls — measured ~8x faster per compose
+    and the difference compounds over a lattice (the ARES settings sweep at
+    batch 100k spends 328 of 360 ms in batch-first folding).
+
+    The maps stay a Python list (tree-folded pairwise) rather than a stacked
+    ``(L, 7, 7, ...)`` array: XLA assigns stacked small-dim arrays a tiled
+    layout that pads both 7s up to (8, 128) — a 16x memory blow-up that OOMs
+    at million-scale batches.
+
+    :param maps: list of ``(7, 7, ...)``; ``maps[0]`` is applied first.
+    :return: ``(7, 7, ...)`` composition.
+    """
+
+    def compose(second: Array, first: Array) -> Array:
+        return jnp.einsum(
+            "ij...,jk...->ik...",
+            second,
+            first,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    maps = list(maps)
+    while len(maps) > 1:
+        even = len(maps) - (len(maps) % 2)
+        paired = [
+            compose(maps[i + 1], maps[i]) for i in range(0, even, 2)
+        ]
+        if len(maps) % 2:
+            paired.append(maps[-1])
+        maps = paired
     return maps[0]

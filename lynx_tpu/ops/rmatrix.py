@@ -50,6 +50,44 @@ def _safe_div(num: Array, den: Array, fallback: Array | float = 0.0) -> Array:
     return jnp.where(den == 0, fallback, num / den_safe)
 
 
+def _flat_batch(*shapes) -> int:
+    batch_shape = jnp.broadcast_shapes(*shapes)
+    flat = 1
+    for dim in batch_shape:
+        flat *= dim
+    return flat
+
+
+def sandwich(left: Array, mid: Array, right: Array) -> Array:
+    """``left @ mid @ right`` for ``(..., 7, 7)`` maps, layout-aware.
+
+    Large batches run in batch-last layout (batch on lane axes -> VPU);
+    batched tiny matmuls are pathological on the MXU (see ``folding.py``).
+    """
+    precision = jax.lax.Precision.HIGHEST
+    if _flat_batch(left.shape[:-2], mid.shape[:-2], right.shape[:-2]) >= 512:
+        batch_shape = jnp.broadcast_shapes(
+            left.shape[:-2], mid.shape[:-2], right.shape[:-2]
+        )
+
+        def bl(m):
+            return jnp.moveaxis(
+                jnp.broadcast_to(m, (*batch_shape, 7, 7)), (-2, -1), (0, 1)
+            )
+
+        out = jnp.einsum(
+            "ij...,jk...,kl...->il...",
+            bl(left),
+            bl(mid),
+            bl(right),
+            precision=precision,
+        )
+        return jnp.moveaxis(out, (0, 1), (-2, -1))
+    return jnp.matmul(
+        left, jnp.matmul(mid, right, precision=precision), precision=precision
+    )
+
+
 def igamma2_from_energy(energy: Array, zero_value: float = 0.0) -> Array:
     """1/gamma^2 with gamma = E / (m_e c^2 / e); ``zero_value`` where E == 0.
 
@@ -169,8 +207,7 @@ def base_rmatrix(
 
     # Rotate for skew / vertical magnets: R <- rot(-tilt) @ R @ rot(tilt).
     # Applied unconditionally (exact for tilt == 0) to stay branch-free.
-    R = rotation_matrix(-tilt) @ R @ rotation_matrix(tilt)
-    return R
+    return sandwich(rotation_matrix(-tilt), R, rotation_matrix(tilt))
 
 
 def misalignment_matrix(misalignment: Array) -> Tuple[Array, Array]:

@@ -1,0 +1,96 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh
+(the TPU-emulation fake backend; SURVEY.md §4 implication (d))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import lynx_tpu as lt
+from lynx_tpu.functional import track
+from lynx_tpu.models import ares_ea_segment
+from lynx_tpu.parallel import (
+    make_mesh,
+    make_tuning_train_step,
+    shard_beam,
+    shard_segment,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _flagship(batch, num_particles):
+    segment = ares_ea_segment().broadcast((batch,))
+    segment.AREABSCR1.is_active = False
+    segment.AREAMQZM1.k1 = jnp.linspace(-5, 5, batch)
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=num_particles,
+        sigma_x=jnp.full((batch,), 1.75e-4),
+        energy=jnp.full((batch,), 1.073e8),
+        key=jax.random.PRNGKey(0),
+    )
+    return segment, beam
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["batch"] * mesh.shape["particles"] == 8
+
+
+def test_sharded_track_matches_single_device():
+    mesh = make_mesh(8)
+    segment, beam = _flagship(batch=4, num_particles=64 * mesh.shape["particles"])
+    expected, _ = track(segment, beam)
+
+    with mesh:
+        sharded_segment = shard_segment(segment, mesh)
+        sharded_beam = shard_beam(beam, mesh)
+        out, _ = jax.jit(track)(sharded_segment, sharded_beam)
+
+    np.testing.assert_allclose(
+        np.asarray(out.sigma_x), np.asarray(expected.sigma_x), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.particles), np.asarray(expected.particles), rtol=1e-5,
+        atol=1e-10,
+    )
+
+
+def test_sharded_train_step_runs_and_improves():
+    mesh = make_mesh(8)
+    segment, beam = _flagship(batch=4, num_particles=64 * mesh.shape["particles"])
+    target = jnp.full((4,), 5e-5)
+
+    def loss_fn(seg, beam):
+        out, _ = track(seg, beam)
+        return jnp.mean((out.sigma_x - target) ** 2 + (out.sigma_y - target) ** 2)
+
+    optimizer = optax.adam(1e-1)
+    with mesh:
+        segment = shard_segment(segment, mesh)
+        beam = shard_beam(beam, mesh)
+        opt_state = optimizer.init(segment)
+        train_step = make_tuning_train_step(optimizer, loss_fn)
+        first_loss = None
+        for _ in range(10):
+            segment, opt_state, loss = train_step(segment, opt_state, beam)
+            if first_loss is None:
+                first_loss = float(loss)
+    assert np.isfinite(float(loss))
+    assert float(loss) < first_loss
+
+
+def test_particle_axis_sharding_preserves_moments():
+    """Moments of a particle-sharded beam match the unsharded values (the
+    psum over the particle axis is inserted by XLA)."""
+    mesh = make_mesh(8, batch=1, particles=8)
+    segment, beam = _flagship(batch=1, num_particles=8 * 128)
+    with mesh:
+        sharded = shard_beam(beam, mesh)
+        sigma = jax.jit(lambda b: b.sigma_x)(sharded)
+    np.testing.assert_allclose(
+        np.asarray(sigma), np.asarray(beam.sigma_x), rtol=1e-6
+    )
