@@ -76,6 +76,12 @@ class Cavity(Element):
             self.length, self.voltage, self.phase, self.frequency, energy
         )
 
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        return cavity_rmatrix(
+            self.length, self.voltage, self.phase, self.frequency, energy,
+            batch_last=True,
+        )
+
     def track(self, incoming: Beam) -> Beam:
         if incoming is Beam.empty:
             return incoming

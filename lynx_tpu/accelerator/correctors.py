@@ -39,6 +39,12 @@ class _Corrector(Element):
         )
 
     def transfer_map(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=False)
+
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=True)
+
+    def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
         energy = jnp.asarray(energy, dtype=self.length.dtype)
         batch_shape = jnp.broadcast_shapes(
             self.length.shape, self.angle.shape, energy.shape
@@ -58,6 +64,7 @@ class _Corrector(Element):
             },
             batch_shape=batch_shape,
             dtype=self.length.dtype,
+            batch_last=batch_last,
         )
 
     def broadcast(self, shape: tuple) -> Element:

@@ -96,8 +96,14 @@ class Dipole(Element):
         return bool(jnp.any(self.angle != 0))
 
     def transfer_map(self, energy: Array) -> Array:
-        R_enter = self._transfer_map_enter()
-        R_exit = self._transfer_map_exit()
+        return self._transfer_map(energy, batch_last=False)
+
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=True)
+
+    def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
+        R_enter = self._edge_map(self.e1, self.fringe_integral, batch_last)
+        R_exit = self._edge_map(self.e2, self.fringe_integral_exit, batch_last)
 
         # The reference picks the thin-corrector branch only when *all* batch
         # entries have zero length (``dipole.py:119-133``); we select
@@ -108,27 +114,40 @@ class Dipole(Element):
             hx=self.hx,
             tilt=jnp.zeros_like(self.length),
             energy=energy,
+            batch_last=batch_last,
         )  # tilt is applied after the edge maps
+        batch_shape = body.shape[2:] if batch_last else body.shape[:-2]
         thin = build_rmatrix(
             {
                 (0, 1): self.length,
                 (2, 6): self.angle,
                 (2, 3): self.length,
             },
-            batch_shape=body.shape[:-2],
+            batch_shape=batch_shape,
             dtype=body.dtype,
+            batch_last=batch_last,
         )
-        is_thin = jnp.broadcast_to(
-            (self.length == 0)[..., None, None], body.shape
+        zero_length = jnp.broadcast_to(self.length == 0, batch_shape)
+        is_thin = (
+            jnp.broadcast_to(zero_length[None, None, ...], body.shape)
+            if batch_last
+            else jnp.broadcast_to(zero_length[..., None, None], body.shape)
         )
         R = jnp.where(is_thin, thin, body)
 
         # Fringe fields, then the tilt rotation sandwich.
-        R = sandwich(R_exit, R, R_enter)
-        R = sandwich(rotation_matrix(-self.tilt), R, rotation_matrix(self.tilt))
+        R = sandwich(R_exit, R, R_enter, batch_last=batch_last)
+        R = sandwich(
+            rotation_matrix(-self.tilt, batch_last=batch_last),
+            R,
+            rotation_matrix(self.tilt, batch_last=batch_last),
+            batch_last=batch_last,
+        )
         return R
 
-    def _edge_map(self, e: Array, fringe_integral: Array) -> Array:
+    def _edge_map(
+        self, e: Array, fringe_integral: Array, batch_last: bool = False
+    ) -> Array:
         """Thin-wedge fringe map (reference ``dipole.py:143-181``)."""
         sec_e = 1.0 / jnp.cos(e)
         phi = fringe_integral * self.hx * self.gap * sec_e * (1 + jnp.sin(e) ** 2)
@@ -140,13 +159,8 @@ class Dipole(Element):
             },
             batch_shape=batch_shape,
             dtype=self.length.dtype,
+            batch_last=batch_last,
         )
-
-    def _transfer_map_enter(self) -> Array:
-        return self._edge_map(self.e1, self.fringe_integral)
-
-    def _transfer_map_exit(self) -> Array:
-        return self._edge_map(self.e2, self.fringe_integral_exit)
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

@@ -31,6 +31,9 @@ class Drift(Element):
     def transfer_map(self, energy: Array) -> Array:
         return drift_rmatrix(self.length, energy)
 
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        return drift_rmatrix(self.length, energy, batch_last=True)
+
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(
             length=jnp.broadcast_to(self.length, shape), name=self.name

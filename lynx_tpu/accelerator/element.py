@@ -32,6 +32,51 @@ def matmul(a: Array, b: Array) -> Array:
     return jnp.matmul(a, b, precision=PRECISION)
 
 
+def to_batch_last(tm: Array) -> Array:
+    """(..., 7, 7) -> (7, 7, ...): batch onto the VPU lane axes."""
+    return jnp.moveaxis(tm, (-2, -1), (0, 1))
+
+
+def from_batch_last(tm_bl: Array) -> Array:
+    """(7, 7, ...) -> (..., 7, 7)."""
+    return jnp.moveaxis(tm_bl, (0, 1), (-2, -1))
+
+
+def apply_transfer_map_batch_last(tm_bl: Array, beam: Beam) -> Beam:
+    """Apply a batch-last ``(7, 7, ...)`` map to a beam.
+
+    ParameterBeam moments stay in batch-last end-to-end (no transposes);
+    ParticleBeam converts the single folded matrix back (the particle push
+    itself is MXU/bandwidth-friendly in standard layout).
+    """
+    if beam is Beam.empty:
+        return beam
+    if isinstance(beam, ParameterBeam):
+        batch_shape = jnp.broadcast_shapes(tm_bl.shape[2:], beam.energy.shape)
+        tm_bl = jnp.broadcast_to(tm_bl, (7, 7, *batch_shape))
+        mu_bl = jnp.moveaxis(
+            jnp.broadcast_to(beam._mu, (*batch_shape, 7)), -1, 0
+        )
+        cov_bl = jnp.moveaxis(
+            jnp.broadcast_to(beam._cov, (*batch_shape, 7, 7)), (-2, -1), (0, 1)
+        )
+        mu = jnp.moveaxis(
+            jnp.einsum("ij...,j...->i...", tm_bl, mu_bl, precision=PRECISION),
+            0,
+            -1,
+        )
+        cov = jnp.moveaxis(
+            jnp.einsum(
+                "ij...,jk...,lk...->il...", tm_bl, cov_bl, tm_bl,
+                precision=PRECISION,
+            ),
+            (0, 1),
+            (-2, -1),
+        )
+        return ParameterBeam(mu, cov, beam.energy, total_charge=beam.total_charge)
+    return apply_transfer_map(from_batch_last(tm_bl), beam)
+
+
 def apply_transfer_map(tm: Array, beam: Beam) -> Beam:
     """Propagate a beam through a ``(..., 7, 7)`` linear map.
 
@@ -124,6 +169,14 @@ class Element(Module):
         if incoming is Beam.empty:
             return incoming
         return apply_transfer_map(self.transfer_map(incoming.energy), incoming)
+
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        """``(7, 7, ...)`` layout variant of :meth:`transfer_map`.
+
+        Subclasses with hot builders override this to assemble natively in
+        batch-last layout (saves a large strided transpose per element on
+        the big-batch path); the default transposes the standard map."""
+        return to_batch_last(self.transfer_map(energy))
 
     def __call__(self, incoming: Beam) -> Beam:
         return self.track(incoming)

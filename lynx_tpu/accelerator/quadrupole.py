@@ -51,18 +51,27 @@ class Quadrupole(Element):
             else jnp.zeros_like(self.length)
         )
 
-    def transfer_map(self, energy: Array) -> Array:
+    def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
         R = base_rmatrix(
             length=self.length,
             k1=self.k1,
             hx=jnp.zeros_like(self.length),
             tilt=self.tilt,
             energy=energy,
+            batch_last=batch_last,
         )
         # Misalignment sandwich R_exit @ R @ R_entry; exact identity when the
         # misalignment is zero, so applied unconditionally (branch-free).
-        R_entry, R_exit = misalignment_matrix(self.misalignment)
-        return sandwich(R_exit, R, R_entry)
+        R_entry, R_exit = misalignment_matrix(
+            self.misalignment, batch_last=batch_last
+        )
+        return sandwich(R_exit, R, R_entry, batch_last=batch_last)
+
+    def transfer_map(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=False)
+
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=True)
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

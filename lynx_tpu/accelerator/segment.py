@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from lynx_tpu.accelerator.custom_transfer_map import CustomTransferMap
 from lynx_tpu.accelerator.drift import Drift
-from lynx_tpu.accelerator.element import Element, apply_transfer_map
+from lynx_tpu.accelerator.element import (
+    Element,
+    apply_transfer_map,
+    apply_transfer_map_batch_last,
+    from_batch_last,
+)
 from lynx_tpu.accelerator.marker import Marker
 from lynx_tpu.ops.folding import (
     fold_transfer_maps,
@@ -35,20 +40,39 @@ Array = jax.Array
 BATCH_LAST_THRESHOLD = 512
 
 
+def _flat_batch_of(elements: list[Element], energy: Array) -> tuple:
+    shapes = [energy.shape] + [
+        jnp.shape(element.length) for element in elements
+    ]
+    batch_shape = jnp.broadcast_shapes(*shapes)
+    flat = 1
+    for dim in batch_shape:
+        flat *= dim
+    return batch_shape, flat
+
+
+def stacked_transfer_map_batch_last(
+    elements: list[Element], energy: Array
+) -> Array:
+    """Fold consecutive skippable elements' maps in ``(7, 7, ...)`` layout
+    (built natively batch-last — no per-element transposes)."""
+    maps = [element.transfer_map_batch_last(energy) for element in elements]
+    batch_shape = jnp.broadcast_shapes(*(m.shape[2:] for m in maps))
+    maps = [jnp.broadcast_to(m, (7, 7, *batch_shape)) for m in maps]
+    return fold_transfer_maps_batch_last(maps)
+
+
 def stacked_transfer_map(elements: list[Element], energy: Array) -> Array:
     """Fold the maps of consecutive skippable elements at a fixed energy."""
+    energy = jnp.asarray(energy)
+    _, flat_batch = _flat_batch_of(elements, energy)
+    if flat_batch >= BATCH_LAST_THRESHOLD:
+        return from_batch_last(stacked_transfer_map_batch_last(elements, energy))
     maps = [element.transfer_map(energy) for element in elements]
     if len(maps) == 1:
         return maps[0]
     batch_shape = jnp.broadcast_shapes(*(m.shape[:-2] for m in maps))
-    flat_batch = 1
-    for dim in batch_shape:
-        flat_batch *= dim
     maps = [jnp.broadcast_to(m, (*batch_shape, 7, 7)) for m in maps]
-    if flat_batch >= BATCH_LAST_THRESHOLD:
-        maps_bl = [jnp.moveaxis(m, (-2, -1), (0, 1)) for m in maps]
-        total = fold_transfer_maps_batch_last(maps_bl)
-        return jnp.moveaxis(total, (0, 1), (-2, -1))
     return fold_transfer_maps(jnp.stack(maps, axis=0))
 
 
@@ -311,7 +335,13 @@ class Segment(Element):
     def _flush_run(run: list[Element], beam: Beam) -> Beam:
         if not run or beam is Beam.empty:
             return beam
-        return apply_transfer_map(stacked_transfer_map(run, beam.energy), beam)
+        energy = jnp.asarray(beam.energy)
+        _, flat_batch = _flat_batch_of(run, energy)
+        if flat_batch >= BATCH_LAST_THRESHOLD:
+            return apply_transfer_map_batch_last(
+                stacked_transfer_map_batch_last(run, energy), beam
+            )
+        return apply_transfer_map(stacked_transfer_map(run, energy), beam)
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

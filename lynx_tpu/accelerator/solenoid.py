@@ -46,6 +46,12 @@ class Solenoid(Element):
         )
 
     def transfer_map(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=False)
+
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=True)
+
+    def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
         energy = jnp.asarray(energy, dtype=self.length.dtype)
         batch_shape = jnp.broadcast_shapes(
             self.length.shape, self.k.shape, energy.shape
@@ -88,10 +94,13 @@ class Solenoid(Element):
             },
             batch_shape=batch_shape,
             dtype=self.length.dtype,
+            batch_last=batch_last,
         )
 
-        R_entry, R_exit = misalignment_matrix(self.misalignment)
-        return sandwich(R_exit, R, R_entry)
+        R_entry, R_exit = misalignment_matrix(
+            self.misalignment, batch_last=batch_last
+        )
+        return sandwich(R_exit, R, R_entry, batch_last=batch_last)
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

@@ -34,6 +34,12 @@ class Undulator(Element):
         self.is_active = is_active
 
     def transfer_map(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=False)
+
+    def transfer_map_batch_last(self, energy: Array) -> Array:
+        return self._transfer_map(energy, batch_last=True)
+
+    def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
         energy = jnp.asarray(energy, dtype=self.length.dtype)
         batch_shape = jnp.broadcast_shapes(self.length.shape, energy.shape)
         length = jnp.broadcast_to(self.length, batch_shape)
@@ -46,6 +52,7 @@ class Undulator(Element):
             {(0, 1): length, (2, 3): length, (4, 5): length * igamma2},
             batch_shape=batch_shape,
             dtype=self.length.dtype,
+            batch_last=batch_last,
         )
 
     def broadcast(self, shape: tuple) -> Element:

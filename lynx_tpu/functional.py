@@ -23,14 +23,24 @@ import jax
 from lynx_tpu.accelerator.aperture import Aperture, aperture_survival_mask
 from lynx_tpu.accelerator.bpm import BPM, bpm_reading
 from lynx_tpu.accelerator.cavity import Cavity
-from lynx_tpu.accelerator.element import Element, apply_transfer_map
+from lynx_tpu.accelerator.element import (
+    Element,
+    apply_transfer_map,
+    apply_transfer_map_batch_last,
+)
 from lynx_tpu.accelerator.marker import Marker
 from lynx_tpu.accelerator.screen import (
     Screen,
     screen_reading_parameter,
     screen_reading_particle,
 )
-from lynx_tpu.accelerator.segment import Segment, stacked_transfer_map
+from lynx_tpu.accelerator.segment import (
+    BATCH_LAST_THRESHOLD,
+    Segment,
+    _flat_batch_of,
+    stacked_transfer_map,
+    stacked_transfer_map_batch_last,
+)
 from lynx_tpu.particles import Beam, ParameterBeam, ParticleBeam
 
 Array = jax.Array
@@ -57,7 +67,15 @@ def track(
     def flush(run: list[Element], beam: Beam) -> Beam:
         if not run:
             return beam
-        return apply_transfer_map(stacked_transfer_map(run, beam.energy), beam)
+        import jax.numpy as jnp
+
+        energy = jnp.asarray(beam.energy)
+        _, flat_batch = _flat_batch_of(run, energy)
+        if flat_batch >= BATCH_LAST_THRESHOLD:
+            return apply_transfer_map_batch_last(
+                stacked_transfer_map_batch_last(run, energy), beam
+            )
+        return apply_transfer_map(stacked_transfer_map(run, energy), beam)
 
     for element in segment.flattened().elements:
         if element.is_skippable:

@@ -34,8 +34,22 @@ def build_rmatrix(
     entries: Dict[Tuple[int, int], Array],
     batch_shape: Tuple[int, ...],
     dtype: jnp.dtype,
+    batch_last: bool = False,
 ) -> Array:
-    """Assemble a batched 7x7 matrix: identity plus the given entries."""
+    """Assemble a batched 7x7 matrix: identity plus the given entries.
+
+    ``batch_last=True`` produces ``(7, 7, *batch_shape)`` — the VPU-lane
+    layout used by the large-batch fast path (entry writes then touch
+    contiguous lanes instead of a stride-49 scatter).
+    """
+    if batch_last:
+        eye = jnp.eye(7, dtype=dtype).reshape(7, 7, *([1] * len(batch_shape)))
+        R = jnp.broadcast_to(eye, (7, 7, *batch_shape))
+        for (i, j), value in entries.items():
+            R = R.at[i, j, ...].set(
+                jnp.broadcast_to(jnp.asarray(value, dtype=dtype), batch_shape)
+            )
+        return R
     R = jnp.broadcast_to(jnp.eye(7, dtype=dtype), (*batch_shape, 7, 7))
     for (i, j), value in entries.items():
         R = R.at[..., i, j].set(
@@ -58,13 +72,22 @@ def _flat_batch(*shapes) -> int:
     return flat
 
 
-def sandwich(left: Array, mid: Array, right: Array) -> Array:
-    """``left @ mid @ right`` for ``(..., 7, 7)`` maps, layout-aware.
+def sandwich(
+    left: Array, mid: Array, right: Array, batch_last: bool = False
+) -> Array:
+    """``left @ mid @ right`` for 7x7 maps, layout-aware.
 
-    Large batches run in batch-last layout (batch on lane axes -> VPU);
-    batched tiny matmuls are pathological on the MXU (see ``folding.py``).
+    With ``batch_last=True`` all operands are already ``(7, 7, ...)`` and the
+    product is computed (and returned) in that layout directly.  Otherwise
+    operands are ``(..., 7, 7)``; large batches are routed through the
+    batch-last layout internally (batched tiny matmuls are pathological on
+    the MXU — see ``folding.py``).
     """
     precision = jax.lax.Precision.HIGHEST
+    if batch_last:
+        return jnp.einsum(
+            "ij...,jk...,kl...->il...", left, mid, right, precision=precision
+        )
     if _flat_batch(left.shape[:-2], mid.shape[:-2], right.shape[:-2]) >= 512:
         batch_shape = jnp.broadcast_shapes(
             left.shape[:-2], mid.shape[:-2], right.shape[:-2]
@@ -116,7 +139,7 @@ def _cos_sinc(k2: Array, length: Array) -> Tuple[Array, Array]:
     return c, s_over_k
 
 
-def rotation_matrix(angle: Array) -> Array:
+def rotation_matrix(angle: Array, batch_last: bool = False) -> Array:
     """x-y plane rotation of the transfer map (reference ``track_methods.py:14-34``)."""
     angle = jnp.asarray(angle)
     cs = jnp.cos(angle)
@@ -134,6 +157,7 @@ def rotation_matrix(angle: Array) -> Array:
         },
         batch_shape=angle.shape,
         dtype=angle.dtype,
+        batch_last=batch_last,
     )
 
 
@@ -143,6 +167,7 @@ def base_rmatrix(
     hx: Array,
     tilt: Optional[Array] = None,
     energy: Optional[Array] = None,
+    batch_last: bool = False,
 ) -> Array:
     """Universal linear R-matrix for quadrupoles and bends.
 
@@ -203,14 +228,22 @@ def base_rmatrix(
         },
         batch_shape=batch_shape,
         dtype=dtype,
+        batch_last=batch_last,
     )
 
     # Rotate for skew / vertical magnets: R <- rot(-tilt) @ R @ rot(tilt).
     # Applied unconditionally (exact for tilt == 0) to stay branch-free.
-    return sandwich(rotation_matrix(-tilt), R, rotation_matrix(tilt))
+    return sandwich(
+        rotation_matrix(-tilt, batch_last=batch_last),
+        R,
+        rotation_matrix(tilt, batch_last=batch_last),
+        batch_last=batch_last,
+    )
 
 
-def misalignment_matrix(misalignment: Array) -> Tuple[Array, Array]:
+def misalignment_matrix(
+    misalignment: Array, batch_last: bool = False
+) -> Tuple[Array, Array]:
     """(entry, exit) affine shift matrices for a transversely misaligned element.
 
     Reference ``lynx/track_methods.py:108-122``.
@@ -220,12 +253,16 @@ def misalignment_matrix(misalignment: Array) -> Tuple[Array, Array]:
     dtype = misalignment.dtype
     mx = misalignment[..., 0]
     my = misalignment[..., 1]
-    R_entry = build_rmatrix({(0, 6): -mx, (2, 6): -my}, batch_shape, dtype)
-    R_exit = build_rmatrix({(0, 6): mx, (2, 6): my}, batch_shape, dtype)
+    R_entry = build_rmatrix(
+        {(0, 6): -mx, (2, 6): -my}, batch_shape, dtype, batch_last=batch_last
+    )
+    R_exit = build_rmatrix(
+        {(0, 6): mx, (2, 6): my}, batch_shape, dtype, batch_last=batch_last
+    )
     return R_entry, R_exit
 
 
-def drift_rmatrix(length: Array, energy: Array) -> Array:
+def drift_rmatrix(length: Array, energy: Array, batch_last: bool = False) -> Array:
     """Drift transfer map with r56 = -L / (beta^2 gamma^2).
 
     Reference ``lynx/accelerator/drift.py:44-62``.
@@ -244,6 +281,7 @@ def drift_rmatrix(length: Array, energy: Array) -> Array:
         {(0, 1): length, (2, 3): length, (4, 5): r56},
         batch_shape=batch_shape,
         dtype=dtype,
+        batch_last=batch_last,
     )
 
 
@@ -253,6 +291,7 @@ def cavity_rmatrix(
     phase: Array,
     frequency: Array,
     energy: Array,
+    batch_last: bool = False,
 ) -> Array:
     r"""Linear map of an accelerating RF cavity (pi-standing-wave model).
 
@@ -382,4 +421,5 @@ def cavity_rmatrix(
         },
         batch_shape=batch_shape,
         dtype=dtype,
+        batch_last=batch_last,
     )
