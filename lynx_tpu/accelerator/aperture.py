@@ -83,6 +83,12 @@ class Aperture(Element):
             jnp.eye(7, dtype=self.x_max.dtype), (*energy.shape, 7, 7)
         )
 
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.table import identity_table
+
+        return identity_table()
+
     def track(self, incoming: Beam) -> Beam:
         # Only applies to particle beams, and only when active
         # (reference ``aperture.py:69-72``).

@@ -43,6 +43,12 @@ class BPM(Element):
         energy = jnp.asarray(energy)
         return jnp.broadcast_to(jnp.eye(7, dtype=energy.dtype), (*energy.shape, 7, 7))
 
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.table import identity_table
+
+        return identity_table()
+
     def track(self, incoming: Beam) -> Beam:
         if incoming is Beam.empty:
             self.reading = None

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from lynx_tpu.accelerator.element import Element, matmul
 from lynx_tpu.constants import ELECTRON_MASS_EV, SPEED_OF_LIGHT
-from lynx_tpu.ops.rmatrix import cavity_rmatrix
+from lynx_tpu.ops.rmatrix import cavity_rmatrix, cavity_rmatrix_entries
 from lynx_tpu.particles import Beam, ParameterBeam, ParticleBeam
 
 Array = jax.Array
@@ -81,6 +81,14 @@ class Cavity(Element):
             self.length, self.voltage, self.phase, self.frequency, energy,
             batch_last=True,
         )
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.table import entries_to_table
+
+        entries, _, _ = cavity_rmatrix_entries(
+            self.length, self.voltage, self.phase, self.frequency, energy
+        )
+        return entries_to_table(entries)
 
     def track(self, incoming: Beam) -> Beam:
         if incoming is Beam.empty:

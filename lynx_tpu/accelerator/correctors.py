@@ -44,6 +44,14 @@ class _Corrector(Element):
     def transfer_map_batch_last(self, energy: Array) -> Array:
         return self._transfer_map(energy, batch_last=True)
 
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.rmatrix import drift_rmatrix_entries
+        from lynx_tpu.ops.table import entries_to_table
+
+        entries = drift_rmatrix_entries(self.length, energy)
+        entries[(self._kick_row, 6)] = self.angle
+        return entries_to_table(entries)
+
     def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
         energy = jnp.asarray(energy, dtype=self.length.dtype)
         batch_shape = jnp.broadcast_shapes(

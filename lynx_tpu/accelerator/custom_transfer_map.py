@@ -68,6 +68,11 @@ class CustomTransferMap(Element):
     def transfer_map(self, energy: Array) -> Array:
         return self._transfer_map
 
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.table import table_from_batch_first
+
+        return table_from_batch_first(self._transfer_map)
+
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(
             jnp.broadcast_to(self._transfer_map, (*shape, 7, 7)),

@@ -13,7 +13,9 @@ import jax.numpy as jnp
 from lynx_tpu.accelerator.element import Element, matmul
 from lynx_tpu.ops.rmatrix import (
     base_rmatrix,
+    base_rmatrix_entries,
     build_rmatrix,
+    rotation_entries,
     rotation_matrix,
     sandwich,
 )
@@ -100,6 +102,41 @@ class Dipole(Element):
 
     def transfer_map_batch_last(self, energy: Array) -> Array:
         return self._transfer_map(energy, batch_last=True)
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops import table as tbl
+
+        body_entries, batch_shape, _, _ = base_rmatrix_entries(
+            length=jnp.where(self.length == 0, 1.0, self.length),
+            k1=jnp.zeros_like(self.length),
+            hx=self.hx,
+            tilt=jnp.zeros_like(self.length),
+            energy=energy,
+        )
+        body = tbl.entries_to_table(body_entries)
+        thin = tbl.entries_to_table(
+            {(0, 1): self.length, (2, 6): self.angle, (2, 3): self.length}
+        )
+        zero_length = jnp.broadcast_to(self.length == 0, batch_shape)
+        R = tbl.where_table(zero_length, thin, body)
+
+        def edge_table(e, fringe_integral):
+            sec_e = 1.0 / jnp.cos(e)
+            phi = (
+                fringe_integral * self.hx * self.gap * sec_e
+                * (1 + jnp.sin(e) ** 2)
+            )
+            return tbl.entries_to_table(
+                {(1, 0): self.hx * jnp.tan(e), (3, 2): -self.hx * jnp.tan(e - phi)}
+            )
+
+        R = tbl.compose(
+            edge_table(self.e2, self.fringe_integral_exit),
+            tbl.compose(R, edge_table(self.e1, self.fringe_integral)),
+        )
+        rot_fwd = tbl.entries_to_table(rotation_entries(self.tilt))
+        rot_bwd = tbl.entries_to_table(rotation_entries(-self.tilt))
+        return tbl.compose(rot_bwd, tbl.compose(R, rot_fwd))
 
     def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
         R_enter = self._edge_map(self.e1, self.fringe_integral, batch_last)

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from lynx_tpu.accelerator.element import Element
-from lynx_tpu.ops.rmatrix import drift_rmatrix
+from lynx_tpu.ops.rmatrix import drift_rmatrix, drift_rmatrix_entries
 
 Array = jax.Array
 
@@ -33,6 +33,11 @@ class Drift(Element):
 
     def transfer_map_batch_last(self, energy: Array) -> Array:
         return drift_rmatrix(self.length, energy, batch_last=True)
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.table import entries_to_table
+
+        return entries_to_table(drift_rmatrix_entries(self.length, energy))
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

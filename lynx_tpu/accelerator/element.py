@@ -42,6 +42,61 @@ def from_batch_last(tm_bl: Array) -> Array:
     return jnp.moveaxis(tm_bl, (0, 1), (-2, -1))
 
 
+def apply_table(total, beam: Beam) -> Beam:
+    """Apply a composed sparse table (see ``ops/table.py``) to a beam."""
+    from lynx_tpu.ops import table as tbl
+
+    if beam is Beam.empty:
+        return beam
+    if isinstance(beam, ParameterBeam):
+        dtype = beam._mu.dtype
+        mu_cells = [beam._mu[..., i] for i in range(7)]
+        out_mu_cells = tbl.matvec(total, mu_cells)
+        cov_table = tbl.table_from_batch_first(beam._cov)
+        out_cov_table = tbl.cov_sandwich(total, cov_table)
+        shapes = [jnp.shape(c) for c in out_mu_cells if not isinstance(c, float)]
+        shapes += [
+            jnp.shape(c)
+            for row in out_cov_table
+            for c in row
+            if not isinstance(c, float)
+        ]
+        batch_shape = jnp.broadcast_shapes(beam.energy.shape, *shapes)
+        mu = jnp.stack(
+            [tbl.broadcast_cell(c, batch_shape, dtype) for c in out_mu_cells],
+            axis=-1,
+        )
+        cov = jnp.stack(
+            [
+                jnp.stack(
+                    [tbl.broadcast_cell(c, batch_shape, dtype) for c in row],
+                    axis=-1,
+                )
+                for row in out_cov_table
+            ],
+            axis=-2,
+        )
+        return ParameterBeam(mu, cov, beam.energy, total_charge=beam.total_charge)
+    if isinstance(beam, ParticleBeam):
+        dtype = beam.particles.dtype
+        shapes = [
+            jnp.shape(c) for row in total for c in row if not isinstance(c, float)
+        ]
+        batch_shape = jnp.broadcast_shapes(beam.energy.shape, *shapes)
+        tm = jnp.stack(
+            [
+                jnp.stack(
+                    [tbl.broadcast_cell(c, batch_shape, dtype) for c in row],
+                    axis=-1,
+                )
+                for row in total
+            ],
+            axis=-2,
+        )
+        return apply_transfer_map(tm, beam)
+    raise TypeError(f"Parameter incoming is of invalid type {type(beam)}")
+
+
 def apply_transfer_map_batch_last(tm_bl: Array, beam: Beam) -> Beam:
     """Apply a batch-last ``(7, 7, ...)`` map to a beam.
 
@@ -177,6 +232,15 @@ class Element(Module):
         batch-last layout (saves a large strided transpose per element on
         the big-batch path); the default transposes the standard map."""
         return to_batch_last(self.transfer_map(energy))
+
+    def transfer_map_table(self, energy: Array):
+        """Sparse-table form of the map (see ``ops/table.py``): a 7x7 list
+        of ``(batch,)`` cells with literal 0/1 identity entries.  The
+        big-batch flush path and the fused Pallas kernel consume this; the
+        default slices the dense map (correct but dense)."""
+        from lynx_tpu.ops.table import table_from_batch_first
+
+        return table_from_batch_first(self.transfer_map(energy))
 
     def __call__(self, incoming: Beam) -> Beam:
         return self.track(incoming)

@@ -26,6 +26,12 @@ class Marker(Element):
         energy = jnp.asarray(energy)
         return jnp.broadcast_to(jnp.eye(7, dtype=energy.dtype), (*energy.shape, 7, 7))
 
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.table import identity_table
+
+        return identity_table()
+
     def track(self, incoming: Beam) -> Beam:
         return incoming
 

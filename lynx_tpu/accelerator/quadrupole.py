@@ -8,7 +8,12 @@ import jax
 import jax.numpy as jnp
 
 from lynx_tpu.accelerator.element import Element, matmul
-from lynx_tpu.ops.rmatrix import base_rmatrix, misalignment_matrix, sandwich
+from lynx_tpu.ops.rmatrix import (
+    base_rmatrix,
+    base_rmatrix_table,
+    misalignment_matrix,
+    sandwich,
+)
 
 Array = jax.Array
 
@@ -72,6 +77,18 @@ class Quadrupole(Element):
 
     def transfer_map_batch_last(self, energy: Array) -> Array:
         return self._transfer_map(energy, batch_last=True)
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops import table as tbl
+
+        T = base_rmatrix_table(
+            self.length, self.k1, jnp.zeros_like(self.length), self.tilt, energy
+        )
+        mx = self.misalignment[..., 0]
+        my = self.misalignment[..., 1]
+        entry = tbl.entries_to_table({(0, 6): -mx, (2, 6): -my})
+        exit_ = tbl.entries_to_table({(0, 6): mx, (2, 6): my})
+        return tbl.compose(exit_, tbl.compose(T, entry))
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

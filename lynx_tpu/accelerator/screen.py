@@ -216,6 +216,12 @@ class Screen(Element):
             jnp.eye(7, dtype=self.misalignment.dtype), (*energy.shape, 7, 7)
         )
 
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.table import identity_table
+
+        return identity_table()
+
     def misaligned_beam(self, incoming: Beam) -> Beam:
         """The beam as seen by the screen (shifted by its misalignment)."""
         if isinstance(incoming, ParameterBeam):

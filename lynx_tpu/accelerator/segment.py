@@ -22,6 +22,7 @@ from lynx_tpu.accelerator.custom_transfer_map import CustomTransferMap
 from lynx_tpu.accelerator.drift import Drift
 from lynx_tpu.accelerator.element import (
     Element,
+    apply_table,
     apply_transfer_map,
     apply_transfer_map_batch_last,
     from_batch_last,
@@ -38,6 +39,51 @@ Array = jax.Array
 #: Flat batch size above which map folding switches to the batch-last
 #: (VPU-lane) layout — see ``ops/folding.py``.
 BATCH_LAST_THRESHOLD = 512
+
+#: Flat batch size above which moment sweeps go through the fused Pallas
+#: kernel (TPU backend only) — see ``ops/pallas_track.py``.
+PALLAS_SWEEP_THRESHOLD = 16384
+
+
+def _fused_flush(run: list[Element], beam: Beam):
+    """Try the fused Pallas build+fold+apply path; ``None`` if inapplicable."""
+    from lynx_tpu.particles import ParameterBeam
+
+    if not isinstance(beam, ParameterBeam):
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    from lynx_tpu.accelerator.fused import element_map_builder
+    from lynx_tpu.ops.pallas_track import fused_moment_sweep
+
+    energy = jnp.asarray(beam.energy)
+    batch_shape, _ = _flat_batch_of(run, energy)
+    batch_shape = jnp.broadcast_shapes(batch_shape, beam._mu.shape[:-1])
+    flat = 1
+    for dim in batch_shape:
+        flat *= dim
+    if flat < PALLAS_SWEEP_THRESHOLD:
+        return None
+    builders = [element_map_builder(el) for el in run]
+    if any(b is None for b in builders):
+        return None
+
+    def vec(x):
+        return jnp.broadcast_to(x, batch_shape).reshape(flat)
+
+    element_params = [[vec(p) for p in params] for params, _ in builders]
+    build_fns = [fn for _, fn in builders]
+    mu = jnp.broadcast_to(beam._mu, (*batch_shape, 7)).reshape(flat, 7)
+    cov = jnp.broadcast_to(beam._cov, (*batch_shape, 7, 7)).reshape(flat, 7, 7)
+    out_mu, out_cov = fused_moment_sweep(
+        build_fns, element_params, vec(energy), mu, cov
+    )
+    return ParameterBeam(
+        out_mu.reshape(*batch_shape, 7),
+        out_cov.reshape(*batch_shape, 7, 7),
+        beam.energy,
+        total_charge=beam.total_charge,
+    )
 
 
 def _flat_batch_of(elements: list[Element], energy: Array) -> tuple:
@@ -60,6 +106,18 @@ def stacked_transfer_map_batch_last(
     batch_shape = jnp.broadcast_shapes(*(m.shape[2:] for m in maps))
     maps = [jnp.broadcast_to(m, (7, 7, *batch_shape)) for m in maps]
     return fold_transfer_maps_batch_last(maps)
+
+
+def composed_table(elements: list[Element], energy: Array):
+    """Compose the sparse tables of consecutive skippable elements
+    (literal-zero short-circuiting; see ``ops/table.py``)."""
+    from lynx_tpu.ops import table as tbl
+
+    total = None
+    for element in elements:
+        T = element.transfer_map_table(energy)
+        total = T if total is None else tbl.compose(T, total)
+    return total
 
 
 def stacked_transfer_map(elements: list[Element], energy: Array) -> Array:
@@ -335,12 +393,13 @@ class Segment(Element):
     def _flush_run(run: list[Element], beam: Beam) -> Beam:
         if not run or beam is Beam.empty:
             return beam
+        fused = _fused_flush(run, beam)
+        if fused is not None:
+            return fused
         energy = jnp.asarray(beam.energy)
         _, flat_batch = _flat_batch_of(run, energy)
         if flat_batch >= BATCH_LAST_THRESHOLD:
-            return apply_transfer_map_batch_last(
-                stacked_transfer_map_batch_last(run, energy), beam
-            )
+            return apply_table(composed_table(run, energy), beam)
         return apply_transfer_map(stacked_transfer_map(run, energy), beam)
 
     def broadcast(self, shape: tuple) -> Element:

@@ -51,7 +51,7 @@ class Solenoid(Element):
     def transfer_map_batch_last(self, energy: Array) -> Array:
         return self._transfer_map(energy, batch_last=True)
 
-    def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
+    def _entries(self, energy: Array):
         energy = jnp.asarray(energy, dtype=self.length.dtype)
         batch_shape = jnp.broadcast_shapes(
             self.length.shape, self.k.shape, energy.shape
@@ -71,36 +71,50 @@ class Solenoid(Element):
         r56 = jnp.where(
             gamma == 0, 0.0, -length / jnp.where(beta2_gamma2 == 0, 1.0, beta2_gamma2)
         )
+        entries = {
+            (0, 0): c**2,
+            (0, 1): c * s_k,
+            (0, 2): s * c,
+            (0, 3): s * s_k,
+            (1, 0): -k * s * c,
+            (1, 1): c**2,
+            (1, 2): -k * s**2,
+            (1, 3): s * c,
+            (2, 0): -s * c,
+            (2, 1): -s * s_k,
+            (2, 2): c**2,
+            (2, 3): c * s_k,
+            (3, 0): k * s**2,
+            (3, 1): -s * c,
+            (3, 2): -k * s * c,
+            (3, 3): c**2,
+            (4, 5): r56,
+        }
+        return entries, batch_shape
 
+    def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
+        entries, batch_shape = self._entries(energy)
         R = build_rmatrix(
-            {
-                (0, 0): c**2,
-                (0, 1): c * s_k,
-                (0, 2): s * c,
-                (0, 3): s * s_k,
-                (1, 0): -k * s * c,
-                (1, 1): c**2,
-                (1, 2): -k * s**2,
-                (1, 3): s * c,
-                (2, 0): -s * c,
-                (2, 1): -s * s_k,
-                (2, 2): c**2,
-                (2, 3): c * s_k,
-                (3, 0): k * s**2,
-                (3, 1): -s * c,
-                (3, 2): -k * s * c,
-                (3, 3): c**2,
-                (4, 5): r56,
-            },
+            entries,
             batch_shape=batch_shape,
             dtype=self.length.dtype,
             batch_last=batch_last,
         )
-
         R_entry, R_exit = misalignment_matrix(
             self.misalignment, batch_last=batch_last
         )
         return sandwich(R_exit, R, R_entry, batch_last=batch_last)
+
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops import table as tbl
+
+        entries, _ = self._entries(energy)
+        T = tbl.entries_to_table(entries)
+        mx = self.misalignment[..., 0]
+        my = self.misalignment[..., 1]
+        entry = tbl.entries_to_table({(0, 6): -mx, (2, 6): -my})
+        exit_ = tbl.entries_to_table({(0, 6): mx, (2, 6): my})
+        return tbl.compose(exit_, tbl.compose(T, entry))
 
     def broadcast(self, shape: tuple) -> Element:
         return self.__class__(

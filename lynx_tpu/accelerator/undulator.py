@@ -39,6 +39,20 @@ class Undulator(Element):
     def transfer_map_batch_last(self, energy: Array) -> Array:
         return self._transfer_map(energy, batch_last=True)
 
+    def transfer_map_table(self, energy: Array):
+        from lynx_tpu.ops.rmatrix import igamma2_from_energy
+        from lynx_tpu.ops.table import entries_to_table
+
+        energy = jnp.asarray(energy, dtype=self.length.dtype)
+        igamma2 = igamma2_from_energy(energy, zero_value=0.0)
+        return entries_to_table(
+            {
+                (0, 1): self.length,
+                (2, 3): self.length,
+                (4, 5): self.length * igamma2,
+            }
+        )
+
     def _transfer_map(self, energy: Array, batch_last: bool) -> Array:
         energy = jnp.asarray(energy, dtype=self.length.dtype)
         batch_shape = jnp.broadcast_shapes(self.length.shape, energy.shape)

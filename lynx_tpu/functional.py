@@ -25,8 +25,8 @@ from lynx_tpu.accelerator.bpm import BPM, bpm_reading
 from lynx_tpu.accelerator.cavity import Cavity
 from lynx_tpu.accelerator.element import (
     Element,
+    apply_table,
     apply_transfer_map,
-    apply_transfer_map_batch_last,
 )
 from lynx_tpu.accelerator.marker import Marker
 from lynx_tpu.accelerator.screen import (
@@ -38,8 +38,9 @@ from lynx_tpu.accelerator.segment import (
     BATCH_LAST_THRESHOLD,
     Segment,
     _flat_batch_of,
+    _fused_flush,
+    composed_table,
     stacked_transfer_map,
-    stacked_transfer_map_batch_last,
 )
 from lynx_tpu.particles import Beam, ParameterBeam, ParticleBeam
 
@@ -69,12 +70,13 @@ def track(
             return beam
         import jax.numpy as jnp
 
+        fused = _fused_flush(run, beam)
+        if fused is not None:
+            return fused
         energy = jnp.asarray(beam.energy)
         _, flat_batch = _flat_batch_of(run, energy)
         if flat_batch >= BATCH_LAST_THRESHOLD:
-            return apply_transfer_map_batch_last(
-                stacked_transfer_map_batch_last(run, energy), beam
-            )
+            return apply_table(composed_table(run, energy), beam)
         return apply_transfer_map(stacked_transfer_map(run, energy), beam)
 
     for element in segment.flattened().elements:

@@ -55,13 +55,7 @@ def fold_transfer_maps_batch_last(maps: list[Array]) -> Array:
     :return: ``(7, 7, ...)`` composition.
     """
 
-    def compose(second: Array, first: Array) -> Array:
-        return jnp.einsum(
-            "ij...,jk...->ik...",
-            second,
-            first,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    from lynx_tpu.ops.rmatrix import compose_batch_last as compose
 
     maps = list(maps)
     while len(maps) > 1:

@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: fused build + fold + apply for batched moment tracking.
+
+The vectorized settings sweep (the RL workload) tracks a ``ParameterBeam``
+through a run of linear elements for B different magnet settings at once.
+Under plain XLA this materializes ~L intermediate ``(7, 7, B)`` matrices in
+HBM (one per element, plus fold partials) — at B = 100k that's dozens of
+~20 MB round-trips and the sweep runs ~30x off the bandwidth roofline.
+
+This kernel fuses the whole pipeline over batch tiles: element parameters
+stream in as ``(TILE,)`` vectors, every 7x7 map is *built in VMEM* (reusing
+the exact ``batch_last=True`` builders from ``ops/rmatrix.py`` — same math,
+same numerics), composed on the fly, and applied to the mu/cov tiles.  HBM
+traffic collapses to the parameters in and the moments in/out.
+
+The kernel is generated per run structure (a static list of element
+builders); jit caching then keys on that structure like everything else.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lynx_tpu.ops import table as tbl
+
+Array = jax.Array
+
+#: Batch-tile width. 8 sublanes x 128 lanes = 1024 f32 elements per vreg row;
+#: 2048 keeps each (7, 7, TILE) map at ~400 KB so a few fit in VMEM at once.
+TILE = 2048
+
+
+def _kernel(
+    build_fns: List[Callable],
+    n_params: List[int],
+    *refs,
+):
+    """Kernel body: refs = [param_0 ... param_{P-1}, energy, mu, cov, out_mu, out_cov].
+
+    Maps live as sparse *tables* of (TILE,) vectors (see ``ops/table.py``) —
+    Mosaic cannot stack/contract the tiny 7-dims, and the tables skip
+    structural zeros at trace time anyway.
+    """
+    num_elements = len(build_fns)
+    total_params = sum(n_params)
+    param_refs = refs[:total_params]
+    energy_ref = refs[total_params]
+    mu_ref = refs[total_params + 1]
+    cov_ref = refs[total_params + 2]
+    out_mu_ref = refs[total_params + 3]
+    out_cov_ref = refs[total_params + 4]
+
+    energy = energy_ref[...]
+    dtype = energy.dtype
+
+    # Build and left-compose tables sequentially: total = R_{L-1} ... R_0.
+    total = None
+    offset = 0
+    for index in range(num_elements):
+        params = [param_refs[offset + k][...] for k in range(n_params[index])]
+        offset += n_params[index]
+        T = build_fns[index](params, energy)
+        total = T if total is None else tbl.compose(T, total)
+
+    mu_cells = [mu_ref[i, :] for i in range(7)]
+    out_mu = tbl.matvec(total, mu_cells)
+    cov_table = [[cov_ref[i, j, :] for j in range(7)] for i in range(7)]
+    out_cov = tbl.cov_sandwich(total, cov_table)
+
+    for i in range(7):
+        out_mu_ref[i, :] = tbl.broadcast_cell(out_mu[i], energy.shape, dtype)
+        for j in range(7):
+            out_cov_ref[i, j, :] = tbl.broadcast_cell(
+                out_cov[i][j], energy.shape, dtype
+            )
+
+
+def fused_moment_sweep(
+    build_fns: List[Callable],
+    element_params: List[List[Array]],
+    energy: Array,
+    mu: Array,
+    cov: Array,
+) -> Tuple[Array, Array]:
+    """Run the fused build+fold+apply kernel over a flat batch.
+
+    :param build_fns: per-element ``f(params_list, energy) -> (7, 7, TILE)``
+        map builders (must produce batch-last maps; see ``ops/rmatrix.py``).
+    :param element_params: per-element list of ``(B,)`` parameter arrays.
+    :param energy: ``(B,)`` beam energy.
+    :param mu: ``(B, 7)`` moment means.
+    :param cov: ``(B, 7, 7)`` covariances.
+    :return: ``(mu', cov')`` with the same layouts as the inputs.
+    """
+    B = energy.shape[0]
+    dtype = mu.dtype
+    if B % TILE != 0:
+        pad = TILE - B % TILE
+        element_params = [
+            [jnp.pad(p, (0, pad)) for p in params] for params in element_params
+        ]
+        energy = jnp.pad(energy, (0, pad), constant_values=1.0)
+        mu = jnp.pad(mu, ((0, pad), (0, 0)))
+        cov = jnp.pad(cov, ((0, pad), (0, 0), (0, 0)))
+    padded = energy.shape[0]
+    grid = padded // TILE
+
+    # Batch-last inputs for lane-aligned access.
+    mu_bl = jnp.moveaxis(mu, 0, -1)  # (7, padded)
+    cov_bl = jnp.moveaxis(cov, 0, -1)  # (7, 7, padded)
+
+    flat_params = [p for params in element_params for p in params]
+    n_params = [len(params) for params in element_params]
+
+    vec_spec = pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((7, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cov_spec = pl.BlockSpec(
+        (7, 7, TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+    out_mu_bl, out_cov_bl = pl.pallas_call(
+        partial(_kernel, build_fns, n_params),
+        grid=(grid,),
+        in_specs=[vec_spec] * len(flat_params) + [vec_spec, mu_spec, cov_spec],
+        out_specs=(mu_spec, cov_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((7, padded), dtype),
+            jax.ShapeDtypeStruct((7, 7, padded), dtype),
+        ),
+    )(*flat_params, energy, mu_bl, cov_bl)
+
+    out_mu = jnp.moveaxis(out_mu_bl, -1, 0)[:B]
+    out_cov = jnp.moveaxis(out_cov_bl, -1, 0)[:B]
+    return out_mu, out_cov

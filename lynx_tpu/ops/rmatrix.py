@@ -43,13 +43,24 @@ def build_rmatrix(
     contiguous lanes instead of a stride-49 scatter).
     """
     if batch_last:
-        eye = jnp.eye(7, dtype=dtype).reshape(7, 7, *([1] * len(batch_shape)))
-        R = jnp.broadcast_to(eye, (7, 7, *batch_shape))
-        for (i, j), value in entries.items():
-            R = R.at[i, j, ...].set(
-                jnp.broadcast_to(jnp.asarray(value, dtype=dtype), batch_shape)
-            )
-        return R
+        # Stack-based assembly (no scatter): required for Pallas TPU lowering
+        # and friendlier to fusion than 13 sequential .at[].set updates.
+        zero = jnp.zeros(batch_shape, dtype=dtype)
+        one = jnp.ones(batch_shape, dtype=dtype)
+        rows = []
+        for i in range(7):
+            row = []
+            for j in range(7):
+                if (i, j) in entries:
+                    row.append(
+                        jnp.broadcast_to(
+                            jnp.asarray(entries[(i, j)], dtype=dtype), batch_shape
+                        )
+                    )
+                else:
+                    row.append(one if i == j else zero)
+            rows.append(jnp.stack(row, axis=0))
+        return jnp.stack(rows, axis=0)
     R = jnp.broadcast_to(jnp.eye(7, dtype=dtype), (*batch_shape, 7, 7))
     for (i, j), value in entries.items():
         R = R.at[..., i, j].set(
@@ -72,6 +83,48 @@ def _flat_batch(*shapes) -> int:
     return flat
 
 
+def compose_batch_last(second: Array, first: Array) -> Array:
+    """``second @ first`` for ``(7, 7, ...)`` maps via explicitly unrolled
+    multiply-adds — pure elementwise VPU work, and (unlike dot_general with a
+    trailing batch dim) supported by the Pallas TPU lowering."""
+    rows = []
+    for i in range(7):
+        row = []
+        for k in range(7):
+            acc = second[i, 0] * first[0, k]
+            for j in range(1, 7):
+                acc = acc + second[i, j] * first[j, k]
+            row.append(acc)
+        rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def matvec_batch_last(matrix: Array, vector: Array) -> Array:
+    """``(7, 7, ...) @ (7, ...) -> (7, ...)`` via unrolled multiply-adds."""
+    out = []
+    for i in range(7):
+        acc = matrix[i, 0] * vector[0]
+        for j in range(1, 7):
+            acc = acc + matrix[i, j] * vector[j]
+        out.append(acc)
+    return jnp.stack(out, axis=0)
+
+
+def cov_sandwich_batch_last(matrix: Array, cov: Array) -> Array:
+    """``R C R^T`` for batch-last ``(7, 7, ...)`` operands, unrolled."""
+    rc = compose_batch_last(matrix, cov)
+    rows = []
+    for i in range(7):
+        row = []
+        for l in range(7):  # noqa: E741
+            acc = rc[i, 0] * matrix[l, 0]
+            for k in range(1, 7):
+                acc = acc + rc[i, k] * matrix[l, k]
+            row.append(acc)
+        rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
 def sandwich(
     left: Array, mid: Array, right: Array, batch_last: bool = False
 ) -> Array:
@@ -85,9 +138,7 @@ def sandwich(
     """
     precision = jax.lax.Precision.HIGHEST
     if batch_last:
-        return jnp.einsum(
-            "ij...,jk...,kl...->il...", left, mid, right, precision=precision
-        )
+        return compose_batch_last(left, compose_batch_last(mid, right))
     if _flat_batch(left.shape[:-2], mid.shape[:-2], right.shape[:-2]) >= 512:
         batch_shape = jnp.broadcast_shapes(
             left.shape[:-2], mid.shape[:-2], right.shape[:-2]
@@ -132,9 +183,15 @@ def _cos_sinc(k2: Array, length: Array) -> Tuple[Array, Array]:
     abs_k = jnp.sqrt(jnp.abs(k2))
     arg = abs_k * length
     focusing = k2 >= 0
-    c = jnp.where(focusing, jnp.cos(arg), jnp.cosh(arg))
+    # cosh/sinh via expm1 (identical math, exact for small args; Mosaic has
+    # no cosh/sinh lowering and physical args k*L are O(1), far from overflow).
+    em1_pos = jnp.expm1(arg)
+    em1_neg = jnp.expm1(-arg)
+    c = jnp.where(focusing, jnp.cos(arg), 1.0 + 0.5 * (em1_pos + em1_neg))
     s_over_k = _safe_div(
-        jnp.where(focusing, jnp.sin(arg), jnp.sinh(arg)), abs_k, fallback=length
+        jnp.where(focusing, jnp.sin(arg), 0.5 * (em1_pos - em1_neg)),
+        abs_k,
+        fallback=length,
     )
     return c, s_over_k
 
@@ -175,6 +232,34 @@ def base_rmatrix(
     energy-dependent longitudinal ``r56`` term.  Reference behavior:
     ``lynx/track_methods.py:37-105`` (itself Ocelot's ``uni_matrix``).
     """
+    entries, batch_shape, dtype, tilt = base_rmatrix_entries(
+        length, k1, hx, tilt, energy
+    )
+    R = build_rmatrix(
+        entries, batch_shape=batch_shape, dtype=dtype, batch_last=batch_last
+    )
+
+    # Rotate for skew / vertical magnets: R <- rot(-tilt) @ R @ rot(tilt).
+    # Applied unconditionally (exact for tilt == 0) to stay branch-free.
+    return sandwich(
+        rotation_matrix(-tilt, batch_last=batch_last),
+        R,
+        rotation_matrix(tilt, batch_last=batch_last),
+        batch_last=batch_last,
+    )
+
+
+def base_rmatrix_entries(
+    length: Array,
+    k1: Array,
+    hx: Array,
+    tilt: Optional[Array] = None,
+    energy: Optional[Array] = None,
+):
+    """Entry dict of the universal R-matrix, *before* the tilt rotation.
+
+    Returns ``(entries, batch_shape, dtype, tilt)``.
+    """
     length = jnp.asarray(length)
     dtype = length.dtype
     k1 = jnp.asarray(k1, dtype=dtype)
@@ -210,35 +295,54 @@ def base_rmatrix(
     inv_beta = jnp.where(beta == 0, jnp.inf, 1.0 / beta_safe)
     r56 = hx**2 * (length - sx) / kx2 * inv_beta**2 - length * inv_beta**2 * igamma2
 
-    R = build_rmatrix(
-        {
-            (0, 0): cx,
-            (0, 1): sx,
-            (0, 5): dx * inv_beta,
-            (1, 0): -kx2 * sx,
-            (1, 1): cx,
-            (1, 5): sx * hx * inv_beta,
-            (2, 2): cy,
-            (2, 3): sy,
-            (3, 2): -ky2 * sy,
-            (3, 3): cy,
-            (4, 0): sx * hx * inv_beta,
-            (4, 1): dx * inv_beta,
-            (4, 5): r56,
-        },
-        batch_shape=batch_shape,
-        dtype=dtype,
-        batch_last=batch_last,
-    )
+    entries = {
+        (0, 0): cx,
+        (0, 1): sx,
+        (0, 5): dx * inv_beta,
+        (1, 0): -kx2 * sx,
+        (1, 1): cx,
+        (1, 5): sx * hx * inv_beta,
+        (2, 2): cy,
+        (2, 3): sy,
+        (3, 2): -ky2 * sy,
+        (3, 3): cy,
+        (4, 0): sx * hx * inv_beta,
+        (4, 1): dx * inv_beta,
+        (4, 5): r56,
+    }
+    return entries, batch_shape, dtype, tilt
 
-    # Rotate for skew / vertical magnets: R <- rot(-tilt) @ R @ rot(tilt).
-    # Applied unconditionally (exact for tilt == 0) to stay branch-free.
-    return sandwich(
-        rotation_matrix(-tilt, batch_last=batch_last),
-        R,
-        rotation_matrix(tilt, batch_last=batch_last),
-        batch_last=batch_last,
-    )
+
+def rotation_entries(angle: Array) -> dict:
+    cs = jnp.cos(angle)
+    sn = jnp.sin(angle)
+    return {
+        (0, 0): cs,
+        (0, 2): sn,
+        (1, 1): cs,
+        (1, 3): sn,
+        (2, 0): -sn,
+        (2, 2): cs,
+        (3, 1): -sn,
+        (3, 3): cs,
+    }
+
+
+def base_rmatrix_table(
+    length: Array,
+    k1: Array,
+    hx: Array,
+    tilt: Optional[Array] = None,
+    energy: Optional[Array] = None,
+):
+    """Sparse-table form of :func:`base_rmatrix` (see ``ops/table.py``)."""
+    from lynx_tpu.ops import table as tbl
+
+    entries, _, _, tilt = base_rmatrix_entries(length, k1, hx, tilt, energy)
+    T = tbl.entries_to_table(entries)
+    rot_fwd = tbl.entries_to_table(rotation_entries(tilt))
+    rot_bwd = tbl.entries_to_table(rotation_entries(-tilt))
+    return tbl.compose(rot_bwd, tbl.compose(T, rot_fwd))
 
 
 def misalignment_matrix(
@@ -285,6 +389,16 @@ def drift_rmatrix(length: Array, energy: Array, batch_last: bool = False) -> Arr
     )
 
 
+def drift_rmatrix_entries(length: Array, energy: Array) -> dict:
+    """Entry dict of the drift map (table form support)."""
+    length = jnp.asarray(length)
+    energy = jnp.asarray(energy, dtype=length.dtype)
+    igamma2 = igamma2_from_energy(energy, zero_value=0.0)
+    beta2 = 1.0 - igamma2
+    r56 = -length * _safe_div(igamma2, beta2, fallback=0.0)
+    return {(0, 1): length, (2, 3): length, (4, 5): r56}
+
+
 def cavity_rmatrix(
     length: Array,
     voltage: Array,
@@ -293,6 +407,21 @@ def cavity_rmatrix(
     energy: Array,
     batch_last: bool = False,
 ) -> Array:
+    entries, batch_shape, dtype = cavity_rmatrix_entries(
+        length, voltage, phase, frequency, energy
+    )
+    return build_rmatrix(
+        entries, batch_shape=batch_shape, dtype=dtype, batch_last=batch_last
+    )
+
+
+def cavity_rmatrix_entries(
+    length: Array,
+    voltage: Array,
+    phase: Array,
+    frequency: Array,
+    energy: Array,
+):
     r"""Linear map of an accelerating RF cavity (pi-standing-wave model).
 
     Rosenzweig-Serafini-style transverse focusing plus the longitudinal
@@ -404,22 +533,18 @@ def cavity_rmatrix(
     r65 = jnp.where(valid, r65, 0.0)
     r66 = jnp.where(valid, r66, 1.0)
 
-    return build_rmatrix(
-        {
-            (0, 0): r11,
-            (0, 1): r12,
-            (1, 0): r21,
-            (1, 1): r22,
-            (2, 2): r11,
-            (2, 3): r12,
-            (3, 2): r21,
-            (3, 3): r22,
-            (4, 4): r55,
-            (4, 5): r56,
-            (5, 4): r65,
-            (5, 5): r66,
-        },
-        batch_shape=batch_shape,
-        dtype=dtype,
-        batch_last=batch_last,
-    )
+    entries = {
+        (0, 0): r11,
+        (0, 1): r12,
+        (1, 0): r21,
+        (1, 1): r22,
+        (2, 2): r11,
+        (2, 3): r12,
+        (3, 2): r21,
+        (3, 3): r22,
+        (4, 4): r55,
+        (4, 5): r56,
+        (5, 4): r65,
+        (5, 5): r66,
+    }
+    return entries, batch_shape, dtype

@@ -48,11 +48,22 @@ def test_dipole_off_equals_drift():
     )
 
 
-def test_dipole_bends_beam():
+def test_dipole_disperses_off_momentum_beam():
+    """A sector bend maps its own reference orbit to itself; off-momentum
+    particles are dispersed via R16 = dx/beta."""
     dipole = lt.Dipole(length=jnp.array([0.31]), angle=jnp.array([0.1]))
-    beam = _beam()
-    outgoing = dipole.track(beam)
-    assert not np.isclose(float(outgoing.mu_x[0]), float(beam.mu_x[0]), atol=1e-7)
+    on_momentum = _beam()
+    off_momentum = lt.ParticleBeam(
+        on_momentum.particles.at[..., 5].add(1e-3),
+        on_momentum.energy,
+        particle_charges=on_momentum.particle_charges,
+    )
+    out_on = dipole.track(on_momentum)
+    out_off = dipole.track(off_momentum)
+    # On-momentum centroid stays on the reference orbit...
+    assert np.isclose(float(out_on.mu_x[0]), float(on_momentum.mu_x[0]), atol=1e-6)
+    # ...while the off-momentum beam is dispersed measurably.
+    assert abs(float(out_off.mu_x[0]) - float(off_momentum.mu_x[0])) > 1e-6
 
 
 def test_quadrupole_tilt_pi_symmetry():
