@@ -99,6 +99,12 @@ def fused_moment_sweep(
     """
     B = energy.shape[0]
     dtype = mu.dtype
+    # One dtype end-to-end (ref writes require exact dtype match).
+    energy = energy.astype(dtype)
+    cov = cov.astype(dtype)
+    element_params = [
+        [p.astype(dtype) for p in params] for params in element_params
+    ]
     if B % TILE != 0:
         pad = TILE - B % TILE
         element_params = [

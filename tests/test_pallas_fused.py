@@ -1,0 +1,113 @@
+"""Fused Pallas sweep kernel: correctness in interpreter mode (the CPU CI
+analog of the TPU execution; the TPU path itself is exercised by bench.py
+and the flush threshold heuristics are covered here)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import lynx_tpu as lt
+import lynx_tpu.ops.pallas_track as pallas_track
+from lynx_tpu.accelerator.fused import element_map_builder, fused_flush_supported
+
+
+@pytest.fixture
+def interpreted_pallas(monkeypatch):
+    monkeypatch.setattr(
+        pallas_track.pl,
+        "pallas_call",
+        functools.partial(pl.pallas_call, interpret=True),
+    )
+
+
+def _elements(B):
+    return [
+        lt.Drift(jnp.full((B,), 0.5)),
+        lt.Quadrupole(
+            jnp.full((B,), 0.23),
+            k1=jnp.linspace(-5, 5, B),
+            tilt=jnp.full((B,), 0.1),
+            misalignment=jnp.stack(
+                [jnp.full((B,), 1e-4), jnp.full((B,), -2e-4)], axis=-1
+            ),
+        ),
+        lt.HorizontalCorrector(jnp.full((B,), 0.1), angle=jnp.full((B,), 1e-4)),
+        lt.VerticalCorrector(jnp.full((B,), 0.1), angle=jnp.full((B,), -1e-4)),
+        lt.Cavity(jnp.full((B,), 1.0), voltage=jnp.zeros((B,))),
+        lt.Marker(),
+    ]
+
+
+def test_fused_sweep_matches_xla(interpreted_pallas):
+    B = pallas_track.TILE
+    elements = _elements(B)
+    energy = jnp.full((B,), 1.073e8)
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1.75e-4),
+        sigma_p=jnp.full((B,), 2e-3),
+        energy=energy,
+    )
+    builders = [element_map_builder(el) for el in elements]
+    assert all(b is not None for b in builders)
+
+    out_mu, out_cov = pallas_track.fused_moment_sweep(
+        [fn for _, fn in builders],
+        [params for params, _ in builders],
+        energy,
+        beam._mu,
+        beam._cov,
+    )
+    reference = lt.Segment(elements).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(out_mu), np.asarray(reference._mu), rtol=1e-4, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cov), np.asarray(reference._cov), rtol=2e-3, atol=1e-16
+    )
+
+
+def test_fused_sweep_pads_ragged_batch(interpreted_pallas):
+    B = pallas_track.TILE + 37  # not a multiple of TILE
+    elements = [lt.Drift(jnp.full((B,), 0.5))]
+    energy = jnp.full((B,), 1e8)
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1e-4), energy=energy
+    )
+    builders = [element_map_builder(el) for el in elements]
+    out_mu, out_cov = pallas_track.fused_moment_sweep(
+        [fn for _, fn in builders],
+        [params for params, _ in builders],
+        energy,
+        beam._mu,
+        beam._cov,
+    )
+    assert out_mu.shape == (B, 7)
+    assert out_cov.shape == (B, 7, 7)
+    reference = lt.Segment(elements).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(out_mu), np.asarray(reference._mu), rtol=1e-4, atol=1e-10
+    )
+
+
+def test_fused_flush_supported_detection():
+    assert fused_flush_supported(_elements(4))
+    assert not fused_flush_supported(
+        [lt.Solenoid(jnp.array([0.5]), k=jnp.array([1.0]))]
+    )
+
+
+def test_table_algebra_identities():
+    from lynx_tpu.ops import table as tbl
+
+    identity = tbl.identity_table()
+    T = tbl.entries_to_table({(0, 1): jnp.array([0.5]), (1, 6): jnp.array([1e-3])})
+    assert tbl.compose(identity, T) == T
+    assert tbl.compose(T, identity) == T
+    # Literal zero short-circuiting keeps identity cells literal.
+    composed = tbl.compose(T, T)
+    assert composed[6][6] == 1.0
+    assert composed[5][0] == 0.0
