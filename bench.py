@@ -17,12 +17,6 @@ import time
 
 import jax
 
-# Persistent compilation cache: first-compile of the flagship graph through
-# a remote-TPU tunnel can take minutes; subsequent runs hit the cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/lynx_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 BASELINE_TRACKS_PER_S = 10.0  # reference: < 0.1 s / track on CPU
 
 

@@ -28,9 +28,12 @@ Array = jax.Array
 
 
 def _as_int_tuple(value) -> Tuple[int, ...]:
+    import numpy as np
+
     if isinstance(value, (int, float)):
         return (int(value),)
-    return tuple(int(v) for v in jnp.asarray(value).ravel().tolist())
+    # via numpy: never bounce through the device for static config
+    return tuple(int(v) for v in np.asarray(value).ravel().tolist())
 
 
 def screen_reading_particle(
