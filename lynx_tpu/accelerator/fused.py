@@ -23,8 +23,6 @@ from lynx_tpu.accelerator.drift import Drift
 from lynx_tpu.accelerator.marker import Marker
 from lynx_tpu.accelerator.quadrupole import Quadrupole
 from lynx_tpu.accelerator.screen import Screen
-from lynx_tpu.accelerator.solenoid import Solenoid
-from lynx_tpu.accelerator.undulator import Undulator
 from lynx_tpu.ops import table as tbl
 from lynx_tpu.ops.rmatrix import (
     base_rmatrix_table,

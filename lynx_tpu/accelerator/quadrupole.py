@@ -7,7 +7,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from lynx_tpu.accelerator.element import Element, matmul
+from lynx_tpu.accelerator.element import Element
 from lynx_tpu.ops.rmatrix import (
     base_rmatrix,
     base_rmatrix_table,

@@ -24,7 +24,6 @@ from lynx_tpu.accelerator.element import (
     Element,
     apply_table,
     apply_transfer_map,
-    apply_transfer_map_batch_last,
     from_batch_last,
 )
 from lynx_tpu.accelerator.marker import Marker

@@ -30,9 +30,18 @@ from lynx_tpu.ops import table as tbl
 
 Array = jax.Array
 
-#: Batch-tile width. 8 sublanes x 128 lanes = 1024 f32 elements per vreg row;
-#: 2048 keeps each (7, 7, TILE) map at ~400 KB so a few fit in VMEM at once.
+#: Default batch-tile width. 8 sublanes x 128 lanes = 1024 f32 elements per
+#: vreg row; 2048 keeps live table cells comfortably in VMEM.
 TILE = 2048
+
+
+def _pick_tile(batch: int) -> int:
+    """Larger tiles amortize per-grid-step overhead on very large batches."""
+    if batch >= 64 * 2048:
+        return 16384
+    if batch >= 8 * 2048:
+        return 8192
+    return TILE
 
 
 def _kernel(
@@ -98,6 +107,7 @@ def fused_moment_sweep(
     :return: ``(mu', cov')`` with the same layouts as the inputs.
     """
     B = energy.shape[0]
+    tile = _pick_tile(B)
     dtype = mu.dtype
     # One dtype end-to-end (ref writes require exact dtype match).
     energy = energy.astype(dtype)
@@ -105,8 +115,8 @@ def fused_moment_sweep(
     element_params = [
         [p.astype(dtype) for p in params] for params in element_params
     ]
-    if B % TILE != 0:
-        pad = TILE - B % TILE
+    if B % tile != 0:
+        pad = tile - B % tile
         element_params = [
             [jnp.pad(p, (0, pad)) for p in params] for params in element_params
         ]
@@ -114,7 +124,7 @@ def fused_moment_sweep(
         mu = jnp.pad(mu, ((0, pad), (0, 0)))
         cov = jnp.pad(cov, ((0, pad), (0, 0), (0, 0)))
     padded = energy.shape[0]
-    grid = padded // TILE
+    grid = padded // tile
 
     # Batch-last inputs for lane-aligned access.
     mu_bl = jnp.moveaxis(mu, 0, -1)  # (7, padded)
@@ -123,10 +133,10 @@ def fused_moment_sweep(
     flat_params = [p for params in element_params for p in params]
     n_params = [len(params) for params in element_params]
 
-    vec_spec = pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
-    mu_spec = pl.BlockSpec((7, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     cov_spec = pl.BlockSpec(
-        (7, 7, TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        (7, 7, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
 
     out_mu_bl, out_cov_bl = pl.pallas_call(
