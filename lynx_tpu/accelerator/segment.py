@@ -374,7 +374,9 @@ class Segment(Element):
         if incoming is Beam.empty:
             return incoming
         if self.is_skippable:
-            return apply_transfer_map(self.transfer_map(incoming.energy), incoming)
+            # Route through the flush so the fused Pallas / table fast paths
+            # apply to fully-linear segments too.
+            return self._flush_run(self.flattened().elements, incoming)
 
         beam = incoming
         run: list[Element] = []

@@ -36,11 +36,9 @@ TILE = 2048
 
 
 def _pick_tile(batch: int) -> int:
-    """Larger tiles amortize per-grid-step overhead on very large batches."""
-    if batch >= 64 * 2048:
-        return 16384
-    if batch >= 8 * 2048:
-        return 8192
+    """Fixed tile: measured throughput-equal to larger tiles (210 vs 205
+    M env-steps/s at batch 1e6), and long lattices' live tables must fit the
+    16 MB VMEM (a 13-element kernel OOMs at tile 16384)."""
     return TILE
 
 

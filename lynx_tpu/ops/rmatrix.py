@@ -183,15 +183,31 @@ def _cos_sinc(k2: Array, length: Array) -> Tuple[Array, Array]:
     abs_k = jnp.sqrt(jnp.abs(k2))
     arg = abs_k * length
     focusing = k2 >= 0
-    # cosh/sinh via expm1 (identical math, exact for small args; Mosaic has
-    # no cosh/sinh lowering and physical args k*L are O(1), far from overflow).
-    em1_pos = jnp.expm1(arg)
-    em1_neg = jnp.expm1(-arg)
-    c = jnp.where(focusing, jnp.cos(arg), 1.0 + 0.5 * (em1_pos + em1_neg))
-    s_over_k = _safe_div(
-        jnp.where(focusing, jnp.sin(arg), 0.5 * (em1_pos - em1_neg)),
-        abs_k,
-        fallback=length,
+
+    # Hyperbolic branch without cosh/sinh/expm1 (none lower in Mosaic):
+    # exp-based identities for large args, Taylor series where the exp form
+    # would cancel catastrophically (|arg| < 0.1; series error < 3e-13 rel).
+    exp_pos = jnp.exp(arg)
+    exp_neg = jnp.exp(-arg)
+    small = arg < 0.1
+    x2 = arg * arg
+    cosh_value = jnp.where(
+        small,
+        1.0 + x2 * (0.5 + x2 * (1.0 / 24.0 + x2 / 720.0)),
+        0.5 * (exp_pos + exp_neg),
+    )
+    # sinh(arg)/k = L * (1 + x^2/6 + x^4/120 + x^6/5040) for small args.
+    sinh_over_k = jnp.where(
+        small,
+        length * (1.0 + x2 * (1.0 / 6.0 + x2 * (1.0 / 120.0 + x2 / 5040.0))),
+        _safe_div(0.5 * (exp_pos - exp_neg), abs_k, fallback=length),
+    )
+
+    c = jnp.where(focusing, jnp.cos(arg), cosh_value)
+    s_over_k = jnp.where(
+        focusing,
+        _safe_div(jnp.sin(arg), abs_k, fallback=length),
+        sinh_over_k,
     )
     return c, s_over_k
 
