@@ -111,14 +111,27 @@ class Cavity(Element):
         delta_energy = self.voltage * cos_phi
         outgoing_energy = energy + delta_energy
 
-        # 1. Linear part.
-        tm = self.transfer_map(energy)
+        # 1. Linear part (table path above 512 flat batch — batched tiny
+        # matmuls are pathological on the MXU; see ops/table.py).
+        batch_shape = jnp.broadcast_shapes(self.length.shape, energy.shape)
+        flat_batch = 1
+        for dim in batch_shape:
+            flat_batch *= dim
         if isinstance(incoming, ParameterBeam):
-            outgoing_mu = matmul(tm, incoming._mu[..., None])[..., 0]
-            outgoing_cov = matmul(
-                tm, matmul(incoming._cov, jnp.swapaxes(tm, -2, -1))
-            )
+            if flat_batch >= 512:
+                from lynx_tpu.accelerator.element import apply_table
+
+                linear = apply_table(self.transfer_map_table(energy), incoming)
+                outgoing_mu = linear._mu
+                outgoing_cov = linear._cov
+            else:
+                tm = self.transfer_map(energy)
+                outgoing_mu = matmul(tm, incoming._mu[..., None])[..., 0]
+                outgoing_cov = matmul(
+                    tm, matmul(incoming._cov, jnp.swapaxes(tm, -2, -1))
+                )
         else:
+            tm = self.transfer_map(energy)
             outgoing_particles = matmul(
                 incoming.particles, jnp.swapaxes(tm, -2, -1)
             )

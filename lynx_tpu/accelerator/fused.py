@@ -19,10 +19,13 @@ from lynx_tpu.accelerator.bpm import BPM
 from lynx_tpu.accelerator.cavity import Cavity
 from lynx_tpu.accelerator.correctors import HorizontalCorrector, VerticalCorrector
 from lynx_tpu.accelerator.custom_transfer_map import CustomTransferMap
+from lynx_tpu.accelerator.dipole import Dipole, RBend
 from lynx_tpu.accelerator.drift import Drift
 from lynx_tpu.accelerator.marker import Marker
 from lynx_tpu.accelerator.quadrupole import Quadrupole
 from lynx_tpu.accelerator.screen import Screen
+from lynx_tpu.accelerator.solenoid import Solenoid
+from lynx_tpu.accelerator.undulator import Undulator
 from lynx_tpu.ops import table as tbl
 from lynx_tpu.ops.rmatrix import (
     base_rmatrix_table,
@@ -67,6 +70,78 @@ def _build_identity(params, energy):
     return tbl.identity_table()
 
 
+def _build_undulator(params, energy):
+    from lynx_tpu.ops.rmatrix import igamma2_from_energy
+
+    (length,) = params
+    igamma2 = igamma2_from_energy(energy, zero_value=0.0)
+    return tbl.entries_to_table(
+        {(0, 1): length, (2, 3): length, (4, 5): length * igamma2}
+    )
+
+
+def _build_solenoid(params, energy):
+    import jax.numpy as jnp
+
+    from lynx_tpu.constants import REST_ENERGY_EV
+
+    length, k, mx, my = params
+    gamma = energy / REST_ENERGY_EV
+    c = jnp.cos(length * k)
+    s = jnp.sin(length * k)
+    k_safe = jnp.where(k == 0, 1.0, k)
+    s_k = jnp.where(k == 0, length, s / k_safe)
+    gamma_safe = jnp.where(gamma == 0, 1.0, gamma)
+    beta2_gamma2 = gamma_safe**2 - 1.0
+    r56 = jnp.where(
+        gamma == 0, 0.0, -length / jnp.where(beta2_gamma2 == 0, 1.0, beta2_gamma2)
+    )
+    T = tbl.entries_to_table(
+        {
+            (0, 0): c**2, (0, 1): c * s_k, (0, 2): s * c, (0, 3): s * s_k,
+            (1, 0): -k * s * c, (1, 1): c**2, (1, 2): -k * s**2, (1, 3): s * c,
+            (2, 0): -s * c, (2, 1): -s * s_k, (2, 2): c**2, (2, 3): c * s_k,
+            (3, 0): k * s**2, (3, 1): -s * c, (3, 2): -k * s * c, (3, 3): c**2,
+            (4, 5): r56,
+        }
+    )
+    entry = tbl.entries_to_table({(0, 6): -mx, (2, 6): -my})
+    exit_ = tbl.entries_to_table({(0, 6): mx, (2, 6): my})
+    return tbl.compose(exit_, tbl.compose(T, entry))
+
+
+def _build_dipole(params, energy):
+    import jax.numpy as jnp
+
+    from lynx_tpu.ops.rmatrix import base_rmatrix_entries, rotation_entries
+
+    length, angle, e1, e2, tilt, fint, fintx, gap = params
+    length_safe = jnp.where(length == 0, 1.0, length)
+    hx = jnp.where(length == 0, 0.0, angle / length_safe)
+    body_entries, _, _, _ = base_rmatrix_entries(
+        length=jnp.where(length == 0, 1.0, length),
+        k1=jnp.zeros_like(length),
+        hx=hx,
+        tilt=jnp.zeros_like(length),
+        energy=energy,
+    )
+    body = tbl.entries_to_table(body_entries)
+    thin = tbl.entries_to_table({(0, 1): length, (2, 6): angle, (2, 3): length})
+    R = tbl.where_table(length == 0, thin, body)
+
+    def edge(e, fi):
+        sec_e = 1.0 / jnp.cos(e)
+        phi = fi * hx * gap * sec_e * (1 + jnp.sin(e) ** 2)
+        return tbl.entries_to_table(
+            {(1, 0): hx * jnp.tan(e), (3, 2): -hx * jnp.tan(e - phi)}
+        )
+
+    R = tbl.compose(edge(e2, fintx), tbl.compose(R, edge(e1, fint)))
+    rot_fwd = tbl.entries_to_table(rotation_entries(tilt))
+    rot_bwd = tbl.entries_to_table(rotation_entries(-tilt))
+    return tbl.compose(rot_bwd, tbl.compose(R, rot_fwd))
+
+
 def _build_custom(params, energy):
     return [[params[i * 7 + j] for j in range(7)] for i in range(7)]
 
@@ -98,13 +173,36 @@ def element_map_builder(element) -> Optional[Builder]:
         )
     if isinstance(element, (Marker, BPM, Screen, Aperture)):
         return [], _build_identity
+    if isinstance(element, Undulator):
+        return [element.length], _build_undulator
+    if isinstance(element, Solenoid):
+        return (
+            [
+                element.length,
+                element.k,
+                element.misalignment[..., 0],
+                element.misalignment[..., 1],
+            ],
+            _build_solenoid,
+        )
+    if type(element) is Dipole or type(element) is RBend:
+        return (
+            [
+                element.length,
+                element.angle,
+                element.e1,
+                element.e2,
+                element.tilt,
+                element.fringe_integral,
+                element.fringe_integral_exit,
+                element.gap,
+            ],
+            _build_dipole,
+        )
     if isinstance(element, CustomTransferMap):
         tm = element._transfer_map
         params = [tm[..., i, j] for i in range(7) for j in range(7)]
         return params, _build_custom
-    # Solenoid / Dipole / Undulator: fall back to the XLA path for now (their
-    # builders also work batch-last; adapters can be added when profiles
-    # demand it).
     return None
 
 

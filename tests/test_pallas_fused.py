@@ -95,8 +95,52 @@ def test_fused_sweep_pads_ragged_batch(interpreted_pallas):
 
 def test_fused_flush_supported_detection():
     assert fused_flush_supported(_elements(4))
-    assert not fused_flush_supported(
-        [lt.Solenoid(jnp.array([0.5]), k=jnp.array([1.0]))]
+    # Every concrete linear element type has a fused builder now.
+    assert fused_flush_supported(
+        [
+            lt.Solenoid(jnp.array([0.5]), k=jnp.array([1.0])),
+            lt.Dipole(jnp.array([0.3]), angle=jnp.array([0.1])),
+            lt.Undulator(jnp.array([0.4])),
+        ]
+    )
+    # Nested segments are not fusable as single builders.
+    nested = lt.Segment([lt.Drift(jnp.array([0.1]))])
+    assert not fused_flush_supported([nested])
+
+
+def test_fused_sweep_with_dipole_solenoid_matches_xla(interpreted_pallas):
+    from lynx_tpu.ops import pallas_track
+
+    B = pallas_track.TILE
+    elements = [
+        lt.Dipole(
+            jnp.full((B,), 0.31),
+            angle=jnp.full((B,), 0.1),
+            e1=jnp.full((B,), 0.05),
+            fringe_integral=jnp.full((B,), 0.3),
+            gap=jnp.full((B,), 0.05),
+        ),
+        lt.Solenoid(jnp.full((B,), 0.4), k=jnp.full((B,), 1.1)),
+        lt.Undulator(jnp.full((B,), 0.25)),
+    ]
+    energy = jnp.full((B,), 1.073e8, dtype=jnp.float32)
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1.75e-4), energy=energy
+    )
+    builders = [element_map_builder(el) for el in elements]
+    out_mu, out_cov = pallas_track.fused_moment_sweep(
+        [fn for _, fn in builders],
+        [params for params, _ in builders],
+        energy,
+        beam._mu,
+        beam._cov,
+    )
+    reference = lt.Segment(elements).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(out_mu), np.asarray(reference._mu), rtol=1e-4, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cov), np.asarray(reference._cov), rtol=2e-3, atol=1e-16
     )
 
 
