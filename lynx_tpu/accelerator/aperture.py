@@ -51,6 +51,7 @@ class Aperture(Element):
 
     # Non-pytree diagnostic state (class-level default for unflattened copies).
     lost_mask = None
+    _last_incoming = None
 
     def __init__(
         self,
@@ -113,14 +114,26 @@ class Aperture(Element):
 
         if not isinstance(survival, jax.core.Tracer):
             self.lost_mask = survival == 0
+            self._last_incoming = incoming
             if bool(jnp.all(survival == 0)):
                 return Beam.empty  # all particles lost (reference ``:107-109``)
         return outgoing
 
     @property
     def lost_particles(self) -> Optional[Array]:
-        """Particles lost in the last (non-traced) track, if any."""
-        return None  # populated via lost_mask; kept for API compatibility
+        """Particles lost in the last non-traced track (reference
+        ``aperture.py:93``). Host-side boolean indexing — shapes are dynamic
+        here by design, which is exactly why it lives OUTSIDE the jit path."""
+        if self.lost_mask is None or self._last_incoming is None:
+            return None
+        return self._last_incoming.particles[self.lost_mask]
+
+    @property
+    def lost_particle_charges(self) -> Optional[Array]:
+        """Charges of the particles lost in the last non-traced track."""
+        if self.lost_mask is None or self._last_incoming is None:
+            return None
+        return self._last_incoming.particle_charges[self.lost_mask]
 
     def broadcast(self, shape: tuple) -> Element:
         new_aperture = self.__class__(
