@@ -48,9 +48,13 @@ def _fused_flush(run: list[Element], beam: Beam):
     """Try the fused Pallas build+fold+apply path; ``None`` if inapplicable."""
     from lynx_tpu.particles import ParameterBeam
 
-    if not isinstance(beam, ParameterBeam):
-        return None
     if jax.default_backend() != "tpu":
+        return None
+    if not isinstance(beam, ParameterBeam):
+        # NOTE: a fused per-setting particle kernel exists
+        # (ops/pallas_track.fused_particle_sweep) but measured SLOWER than
+        # XLA's batched matmul for (B, N, 7) pushes (grid-step overhead with
+        # a scalar map build per setting); it is not auto-routed.
         return None
     from lynx_tpu.accelerator.fused import element_map_builder
     from lynx_tpu.ops.pallas_track import fused_moment_sweep
@@ -82,6 +86,42 @@ def _fused_flush(run: list[Element], beam: Beam):
         out_cov.reshape(*batch_shape, 7, 7),
         beam.energy,
         total_charge=beam.total_charge,
+    )
+
+
+def _fused_particle_flush(run: list[Element], beam: "ParticleBeam"):
+    """Fused per-setting particle sweep for (B, N, 7) beams; ``None`` if
+    inapplicable (see ``ops/pallas_track.fused_particle_sweep``)."""
+    from lynx_tpu.accelerator.fused import element_map_builder
+    from lynx_tpu.ops.pallas_track import fused_particle_sweep
+
+    if beam.particles.ndim != 3:
+        return None
+    B = beam.particles.shape[0]
+    if B < 16:  # per-setting grid steps need enough settings to pay off
+        return None
+    energy = jnp.asarray(beam.energy)
+    batch_shape, _ = _flat_batch_of(run, energy)
+    batch_shape = jnp.broadcast_shapes(batch_shape, (B,))
+    if batch_shape != (B,):
+        return None
+    builders = [element_map_builder(el) for el in run]
+    if any(b is None for b in builders):
+        return None
+
+    def vec(x):
+        return jnp.broadcast_to(x, (B,))
+
+    element_params = [[vec(p) for p in params] for params, _ in builders]
+    build_fns = [fn for _, fn in builders]
+    out_particles = fused_particle_sweep(
+        build_fns, element_params, vec(energy), beam.particles
+    )
+    return ParticleBeam(
+        out_particles,
+        beam.energy,
+        particle_charges=beam.particle_charges,
+        survival=beam.survival,
     )
 
 

@@ -151,3 +151,96 @@ def fused_moment_sweep(
     out_mu = jnp.moveaxis(out_mu_bl, -1, 0)[:B]
     out_cov = jnp.moveaxis(out_cov_bl, -1, 0)[:B]
     return out_mu, out_cov
+
+
+#: Particle-tile width for the particle-sweep kernel.
+PARTICLE_TILE = 2048
+
+
+def _particle_kernel(build_fns, n_params, *refs):
+    """Per-setting particle push: one grid row per setting, particles on
+    lanes.  Scalar-prefetch refs hold the full (B,) parameter arrays in SMEM
+    (indexed by the setting's program_id); tensor refs are the particle tile.
+    """
+    total_params = sum(n_params)
+    scalar_refs = refs[:total_params + 1]
+    particles_ref = refs[total_params + 1]
+    out_ref = refs[total_params + 2]
+
+    b = pl.program_id(0)
+    energy = scalar_refs[total_params][b]
+
+    total = None
+    offset = 0
+    for index, build in enumerate(build_fns):
+        params = [scalar_refs[offset + k][b] for k in range(n_params[index])]
+        offset += n_params[index]
+        T = build(params, energy)
+        total = T if total is None else tbl.compose(T, total)
+
+    coords = [particles_ref[0, j, :] for j in range(7)]
+    for i in range(7):
+        acc = None
+        for j in range(7):
+            cell = total[i][j]
+            if isinstance(cell, float):
+                if cell == 0.0:
+                    continue
+                term = coords[j] if cell == 1.0 else cell * coords[j]
+            else:
+                term = cell * coords[j]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(coords[0])
+        out_ref[0, i, :] = acc
+
+
+def fused_particle_sweep(
+    build_fns: List[Callable],
+    element_params: List[List[Array]],
+    energy: Array,
+    particles: Array,
+) -> Array:
+    """Track ``(B, N, 7)`` particles through a linear run for B settings.
+
+    One kernel: per-setting maps are built from scalar parameters inside the
+    kernel (scalar-prefetched SMEM arrays indexed by the grid's setting id)
+    and applied to particle tiles with the 7 coordinates on sublanes and
+    particles on lanes — no ``(B, 7, 7)`` maps and no padded-to-128
+    coordinate axis ever touch HBM.
+    """
+    B, N, _ = particles.shape
+    dtype = particles.dtype
+    energy = energy.astype(dtype)
+    element_params = [
+        [p.astype(dtype) for p in params] for params in element_params
+    ]
+
+    tile_n = min(PARTICLE_TILE, N)
+    pad_n = (tile_n - N % tile_n) % tile_n
+    particles_t = jnp.moveaxis(particles, -1, -2)  # (B, 7, N)
+    if pad_n:
+        particles_t = jnp.pad(particles_t, ((0, 0), (0, 0), (0, pad_n)))
+    padded_n = N + pad_n
+
+    flat_params = [p for params in element_params for p in params]
+    n_params = [len(params) for params in element_params]
+
+    tile_spec = pl.BlockSpec(
+        (1, 7, tile_n), lambda b, n, *scalars: (b, 0, n),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(flat_params) + 1,
+        grid=(B, padded_n // tile_n),
+        in_specs=[tile_spec],
+        out_specs=tile_spec,
+    )
+
+    out_t = pl.pallas_call(
+        partial(_particle_kernel, build_fns, n_params),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 7, padded_n), dtype),
+    )(*flat_params, energy, particles_t)
+
+    return jnp.moveaxis(out_t[:, :, :N], -2, -1)

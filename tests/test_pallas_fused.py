@@ -155,3 +155,60 @@ def test_table_algebra_identities():
     composed = tbl.compose(T, T)
     assert composed[6][6] == 1.0
     assert composed[5][0] == 0.0
+
+
+def test_fused_particle_sweep_matches_xla(interpreted_pallas):
+    from lynx_tpu.ops import pallas_track
+
+    B, N = 4, 1000
+    elements = [
+        lt.Drift(jnp.full((B,), 0.5)),
+        lt.Quadrupole(
+            jnp.full((B,), 0.23),
+            k1=jnp.linspace(-5, 5, B),
+            tilt=jnp.full((B,), 0.1),
+        ),
+        lt.HorizontalCorrector(jnp.full((B,), 0.1), angle=jnp.full((B,), 1e-4)),
+    ]
+    energy = jnp.full((B,), 1.073e8, dtype=jnp.float32)
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=N,
+        sigma_x=jnp.full((B,), 1.75e-4),
+        energy=energy,
+        key=jax.random.PRNGKey(0),
+    )
+    builders = [element_map_builder(el) for el in elements]
+    out = pallas_track.fused_particle_sweep(
+        [fn for _, fn in builders],
+        [params for params, _ in builders],
+        energy,
+        beam.particles,
+    )
+    reference = lt.Segment(elements).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(reference.particles), rtol=1e-4, atol=1e-9
+    )
+
+
+def test_fused_particle_sweep_ragged_n(interpreted_pallas):
+    from lynx_tpu.ops import pallas_track
+
+    B, N = 3, pallas_track.PARTICLE_TILE + 77
+    elements = [lt.Drift(jnp.full((B,), 0.5))]
+    energy = jnp.full((B,), 1e8, dtype=jnp.float32)
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=N, sigma_x=jnp.full((B,), 1e-4), energy=energy,
+        key=jax.random.PRNGKey(1),
+    )
+    builders = [element_map_builder(el) for el in elements]
+    out = pallas_track.fused_particle_sweep(
+        [fn for _, fn in builders],
+        [params for params, _ in builders],
+        energy,
+        beam.particles,
+    )
+    assert out.shape == (B, N, 7)
+    reference = lt.Segment(elements).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(reference.particles), rtol=1e-5, atol=1e-10
+    )
