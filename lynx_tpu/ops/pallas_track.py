@@ -87,7 +87,86 @@ def _kernel(
             )
 
 
+def _table_reference_sweep(build_fns, n_params, flat_params, energy, mu, cov):
+    """Pure-XLA implementation of the fused sweep (same math, same builders,
+    no pallas) — the differentiable reference used by the custom VJP."""
+    element_params = []
+    offset = 0
+    for count in n_params:
+        element_params.append(list(flat_params[offset : offset + count]))
+        offset += count
+    total = None
+    for build, params in zip(build_fns, element_params):
+        T = build(params, energy)
+        total = T if total is None else tbl.compose(T, total)
+    mu_cells = [mu[:, i] for i in range(7)]
+    out_mu_cells = tbl.matvec(total, mu_cells)
+    cov_table = [[cov[:, i, j] for j in range(7)] for i in range(7)]
+    out_cov_table = tbl.cov_sandwich(total, cov_table)
+    B = energy.shape[0]
+    dtype = mu.dtype
+    out_mu = jnp.stack(
+        [tbl.broadcast_cell(c, (B,), dtype) for c in out_mu_cells], axis=-1
+    )
+    out_cov = jnp.stack(
+        [
+            jnp.stack(
+                [tbl.broadcast_cell(c, (B,), dtype) for c in row], axis=-1
+            )
+            for row in out_cov_table
+        ],
+        axis=-2,
+    )
+    return out_mu, out_cov
+
+
 def fused_moment_sweep(
+    build_fns: List[Callable],
+    element_params: List[List[Array]],
+    energy: Array,
+    mu: Array,
+    cov: Array,
+) -> Tuple[Array, Array]:
+    """Differentiable fused sweep: forward runs the Pallas kernel; the
+    backward pass (``pallas_call`` has no automatic VJP) differentiates the
+    mathematically-identical XLA table implementation at the same inputs —
+    so ``jax.grad`` of large-batch tuning losses works transparently.
+    """
+    n_params = tuple(len(params) for params in element_params)
+    flat_params = tuple(p for params in element_params for p in params)
+
+    @jax.custom_vjp
+    def sweep(flat_params, energy, mu, cov):
+        element_params = []
+        offset = 0
+        for count in n_params:
+            element_params.append(list(flat_params[offset : offset + count]))
+            offset += count
+        return _fused_moment_sweep_impl(
+            build_fns, element_params, energy, mu, cov
+        )
+
+    def fwd(flat_params, energy, mu, cov):
+        return sweep(flat_params, energy, mu, cov), (flat_params, energy, mu, cov)
+
+    def bwd(residuals, cotangents):
+        flat_params, energy, mu, cov = residuals
+        _, vjp = jax.vjp(
+            lambda fp, e, m, c: _table_reference_sweep(
+                build_fns, n_params, fp, e, m, c
+            ),
+            flat_params,
+            energy,
+            mu,
+            cov,
+        )
+        return vjp(cotangents)
+
+    sweep.defvjp(fwd, bwd)
+    return sweep(flat_params, energy, mu, cov)
+
+
+def _fused_moment_sweep_impl(
     build_fns: List[Callable],
     element_params: List[List[Array]],
     energy: Array,
