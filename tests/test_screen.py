@@ -125,3 +125,42 @@ def test_screen_weighted_by_survival():
     _ = segment.track(beam)
     total = float(segment.scr.reading.sum())
     assert 0 < total < 5000
+
+
+def test_parameter_and_particle_images_agree_on_orientation():
+    """An off-center beam must peak in the same image region for both the
+    particle histogram and the analytic Gaussian image (guards against
+    flipped/transposed camera axes)."""
+    screen = lt.Screen(
+        resolution=(64, 48), pixel_size=jnp.array((2e-5, 2e-5)), is_active=True,
+        name="s",
+    )
+    kwargs = dict(
+        mu_x=jnp.array([3e-4]),     # right of center
+        mu_y=jnp.array([2e-4]),     # above center
+        sigma_x=jnp.array([5e-5]),
+        sigma_y=jnp.array([5e-5]),
+        energy=jnp.array([1e8]),
+    )
+    particle = lt.ParticleBeam.from_parameters(num_particles=200_000, **kwargs)
+    parameter = lt.ParameterBeam.from_parameters(**kwargs)
+
+    seg_a = lt.Segment([screen])
+    seg_a.track(particle)
+    particle_image = np.asarray(screen.reading[0])
+
+    screen.set_read_beam(None)
+    seg_a.track(parameter)
+    parameter_image = np.asarray(screen.reading[0])
+
+    assert particle_image.shape == parameter_image.shape == (48, 64)
+    peak_particle = np.unravel_index(np.argmax(particle_image), particle_image.shape)
+    peak_parameter = np.unravel_index(
+        np.argmax(parameter_image), parameter_image.shape
+    )
+    # Same pixel neighborhood (within 1 px of each other).
+    assert abs(peak_particle[0] - peak_parameter[0]) <= 1
+    assert abs(peak_particle[1] - peak_parameter[1]) <= 1
+    # +x offset -> right half (column > W/2); +y offset -> upper half (row < H/2).
+    assert peak_particle[1] > 32
+    assert peak_particle[0] < 24
