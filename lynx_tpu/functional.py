@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from lynx_tpu.accelerator.aperture import Aperture, aperture_survival_mask
 from lynx_tpu.accelerator.bpm import BPM, bpm_reading
@@ -68,8 +69,6 @@ def track(
     def flush(run: list[Element], beam: Beam) -> Beam:
         if not run:
             return beam
-        import jax.numpy as jnp
-
         fused = _fused_flush(run, beam)
         if fused is not None:
             return fused
