@@ -75,10 +75,11 @@ def main(updates: int = 20, num_envs: int = 512, rollout: int = 16) -> None:
     optimizer = optax.adam(3e-4)
     opt_state = optimizer.init(policy)
 
-    reset = jax.vmap(env.reset)
-    step = jax.vmap(env.step, in_axes=(0, 0, 0))
+    # Natively batched env functions (NOT vmap): batched tracking engages
+    # the framework's table/Pallas fast paths.
+    step = env.batched_step
 
-    obs, states = jax.jit(reset)(
+    obs, states = jax.jit(env.batched_reset)(
         jax.random.split(k_reset, num_envs), env_params
     )
 

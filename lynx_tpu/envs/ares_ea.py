@@ -127,6 +127,106 @@ class AresEATransverseTuning:
             ]
         )
 
+    def batched_beam_parameters(
+        self, magnets: Array, params: EnvParams
+    ) -> Array:
+        """Vectorized :meth:`beam_parameters` for ``(B, 5)`` magnet settings
+        and batched ``EnvParams`` (leaves with a leading ``(B,)`` axis).
+
+        Uses natively batched tracking — unlike ``vmap`` over
+        :meth:`beam_parameters` (whose per-instance shapes hide the batch),
+        this engages the large-batch table/Pallas fast paths.
+        """
+        B = magnets.shape[0]
+        settings = magnets * MAGNET_LIMITS
+        elements = []
+        for element in self._segment.elements:
+            def b(x):
+                return jnp.broadcast_to(x, (B,))
+
+            if element.name == "AREAMQZM1":
+                element = element.replace(
+                    length=b(element.length), k1=settings[:, 0]
+                )
+            elif element.name == "AREAMQZM2":
+                element = element.replace(
+                    length=b(element.length), k1=settings[:, 1]
+                )
+            elif element.name == "AREAMQZM3":
+                element = element.replace(
+                    length=b(element.length), k1=settings[:, 2]
+                )
+            elif element.name == "AREAMCVM1":
+                element = element.replace(
+                    length=b(element.length), angle=settings[:, 3]
+                )
+            elif element.name == "AREAMCHM1":
+                element = element.replace(
+                    length=b(element.length), angle=settings[:, 4]
+                )
+            elements.append(element)
+        tuned = lt.Segment(elements, name=self._segment.name)
+
+        beam = lt.ParameterBeam.from_parameters(
+            mu_x=params.incoming_mu[:, 0],
+            mu_xp=params.incoming_mu[:, 1],
+            mu_y=params.incoming_mu[:, 2],
+            mu_yp=params.incoming_mu[:, 3],
+            sigma_x=params.incoming_sigma[:, 0],
+            sigma_xp=params.incoming_sigma[:, 1],
+            sigma_y=params.incoming_sigma[:, 2],
+            sigma_yp=params.incoming_sigma[:, 3],
+            energy=params.energy,
+        )
+        outgoing, _ = track(tuned, beam)
+        return jnp.stack(
+            [outgoing.mu_x, outgoing.sigma_x, outgoing.mu_y, outgoing.sigma_y],
+            axis=-1,
+        )
+
+    def batched_step(
+        self, states: EnvState, actions: Array, params: EnvParams
+    ) -> Tuple[Array, EnvState, Array, Array]:
+        """Vectorized :meth:`step` over ``(B, ...)`` states/actions/params —
+        the high-throughput path for RL training loops (avoid ``vmap`` here;
+        see :meth:`batched_beam_parameters`)."""
+        magnets = jnp.clip(actions, -1.0, 1.0)
+        next_states = EnvState(
+            magnets=magnets,
+            step_count=states.step_count + 1,
+            key=states.key,
+        )
+        beam = self.batched_beam_parameters(magnets, params)
+        rewards = -jnp.sum(jnp.abs(beam - params.target), axis=-1) * 1e3
+        dones = next_states.step_count >= params.max_steps
+        obs = jnp.concatenate(
+            [magnets, beam * 1e3, params.target * 1e3], axis=-1
+        )
+        return obs, next_states, rewards, dones
+
+    def batched_reset(
+        self, keys: Array, params: EnvParams
+    ) -> Tuple[Array, EnvState]:
+        """Vectorized :meth:`reset` over ``(B, ...)`` keys/params."""
+        B = keys.shape[0]
+        split = jax.vmap(jax.random.split)(keys)
+        next_keys, magnet_keys = split[:, 0], split[:, 1]
+        magnets = jax.vmap(
+            lambda k: jax.random.uniform(
+                k, (self.num_actions,), minval=-0.5, maxval=0.5
+            )
+        )(magnet_keys)
+        states = EnvState(
+            magnets=magnets,
+            step_count=jnp.zeros((B,), jnp.int32),
+            key=next_keys,
+        )
+        beam = self.batched_beam_parameters(magnets, params)
+        obs = jnp.concatenate(
+            [magnets, beam * 1e3, params.target * 1e3], axis=-1
+        )
+        return obs, states
+
     # -- env API -----------------------------------------------------------
     def observation(self, state: EnvState, params: EnvParams) -> Array:
         beam = self.beam_parameters(state.magnets, params)

@@ -78,3 +78,38 @@ def test_gradient_descent_improves_reward():
         value, g = grad_fn(action)
         action = jnp.clip(action - 0.03 * jnp.sign(g), -1, 1)
     assert float(value) < float(first)
+
+
+def test_batched_env_matches_vmapped():
+    """The natively-batched env path must agree with vmapped per-instance
+    stepping (it exists purely to engage the fast tracking paths)."""
+    env = make_env()
+    n = 8
+    params = jax.vmap(default_params)(jax.random.split(jax.random.PRNGKey(1), n))
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+
+    obs_v, states_v = jax.vmap(env.reset)(keys, params)
+    actions = jnp.tanh(
+        jax.random.normal(jax.random.PRNGKey(2), (n, env.num_actions))
+    )
+    obs_vm, _, rew_vm, done_vm = jax.vmap(env.step)(states_v, actions, params)
+    obs_b, _, rew_b, done_b = env.batched_step(states_v, actions, params)
+
+    np.testing.assert_allclose(
+        np.asarray(obs_b), np.asarray(obs_vm), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rew_b), np.asarray(rew_vm), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(done_b), np.asarray(done_vm))
+
+
+def test_batched_reset_shapes():
+    env = make_env()
+    n = 8
+    params = jax.vmap(default_params)(jax.random.split(jax.random.PRNGKey(1), n))
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    obs, states = env.batched_reset(keys, params)
+    assert obs.shape == (n, env.obs_size)
+    assert states.magnets.shape == (n, env.num_actions)
+    assert states.step_count.shape == (n,)
