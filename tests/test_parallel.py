@@ -94,3 +94,34 @@ def test_particle_axis_sharding_preserves_moments():
     np.testing.assert_allclose(
         np.asarray(sigma), np.asarray(beam.sigma_x), rtol=1e-6
     )
+
+
+def test_batched_env_shards_over_batch_axis():
+    """Data-parallel RL: the natively-batched env steps under a mesh with all
+    (B, ...) inputs sharded on the batch axis, matching unsharded results —
+    the multi-chip scaling mode for PPO training (no collectives needed;
+    each device tracks its own env shard)."""
+    from lynx_tpu.envs import make_env
+    from lynx_tpu.envs.ares_ea import default_params
+
+    env = make_env()
+    n = 16
+    params = jax.vmap(default_params)(jax.random.split(jax.random.PRNGKey(1), n))
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    obs, states = env.batched_reset(keys, params)
+    actions = jnp.tanh(jax.random.normal(jax.random.PRNGKey(2), (n, env.num_actions)))
+    obs_ref, _, rew_ref, _ = env.batched_step(states, actions, params)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("batch",))
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("batch"))
+    shard = lambda tree: jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+
+    with mesh:
+        obs_s, _, rew_s, _ = jax.jit(env.batched_step)(
+            shard(states), shard(actions), shard(params)
+        )
+
+    # Outputs stay sharded over the batch axis (no implicit gather).
+    assert obs_s.sharding.is_equivalent_to(spec, obs_s.ndim)
+    np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rew_s), np.asarray(rew_ref), rtol=1e-5)
