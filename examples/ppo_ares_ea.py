@@ -65,24 +65,11 @@ def gaussian_logp(mean, log_std, action):
     )
 
 
-def main(updates: int = 20, num_envs: int = 512, rollout: int = 16) -> None:
-    env = make_env()
-    key = jax.random.PRNGKey(0)
-    key, k_params, k_reset, k_policy = jax.random.split(key, 4)
-
-    env_params = jax.vmap(default_params)(jax.random.split(k_params, num_envs))
-    policy = MLPPolicy.init(k_policy, env.obs_size, env.num_actions)
-    optimizer = optax.adam(3e-4)
-    opt_state = optimizer.init(policy)
-
-    # Natively batched env functions (NOT vmap): batched tracking engages
-    # the framework's table/Pallas fast paths.
+def make_collect_and_update(env, env_params, optimizer, rollout: int):
+    """Build the jitted PPO step: rollout via lax.scan over the natively
+    batched env (NOT vmap — batched tracking engages the framework's
+    table/Pallas fast paths), GAE, clipped surrogate update."""
     step = env.batched_step
-
-    obs, states = jax.jit(env.batched_reset)(
-        jax.random.split(k_reset, num_envs), env_params
-    )
-
     gamma, lam, clip_eps = 0.99, 0.95, 0.2
 
     @jax.jit
@@ -141,6 +128,27 @@ def main(updates: int = 20, num_envs: int = 512, rollout: int = 16) -> None:
         updates_, opt_state = optimizer.update(grads, opt_state)
         policy = optax.apply_updates(policy, updates_)
         return policy, opt_state, obs, states, key, loss, mean_reward
+
+    return collect_and_update
+
+
+def main(updates: int = 20, num_envs: int = 512, rollout: int = 16) -> None:
+    env = make_env()
+    key = jax.random.PRNGKey(0)
+    key, k_params, k_reset, k_policy = jax.random.split(key, 4)
+
+    env_params = jax.vmap(default_params)(jax.random.split(k_params, num_envs))
+    policy = MLPPolicy.init(k_policy, env.obs_size, env.num_actions)
+    optimizer = optax.adam(3e-4)
+    opt_state = optimizer.init(policy)
+
+    obs, states = jax.jit(env.batched_reset)(
+        jax.random.split(k_reset, num_envs), env_params
+    )
+
+    collect_and_update = make_collect_and_update(
+        env, env_params, optimizer, rollout
+    )
 
     steps_per_update = num_envs * rollout
     start = time.perf_counter()
