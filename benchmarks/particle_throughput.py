@@ -1,0 +1,74 @@
+"""Batched ParticleBeam tracking throughput (the reference's N=100k
+``tests/test_speed.py`` workload, scaled across a settings batch).
+
+Tracks a (B,)-batched ARES EA subcell with B different quadrupole settings,
+each with an N-particle beam, and reports particle-pushes/s (one push = one
+particle through the whole segment's composed map).
+
+Prints one JSON line:
+    {"metric": "particle_pushes_per_s", "value": N, "unit": "pushes/s",
+     "batch": B, "num_particles": N}
+
+Usage: python benchmarks/particle_throughput.py [--batch 256] [--particles 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(batch: int, num_particles: int, iters: int) -> None:
+    import lynx_tpu as lt
+    from lynx_tpu.models import ares_ea_segment
+
+    segment = ares_ea_segment().broadcast((batch,))
+    segment.AREABSCR1.is_active = False
+    segment.AREAMQZM1.k1 = jnp.linspace(-5.0, 5.0, batch)
+    segment.AREAMQZM2.k1 = jnp.linspace(5.0, -5.0, batch)
+
+    @jax.jit
+    def make(key):
+        return lt.ParticleBeam.from_parameters(
+            num_particles=num_particles,
+            sigma_x=jnp.full((batch,), 1.75e-4),
+            sigma_y=jnp.full((batch,), 1.75e-4),
+            energy=jnp.full((batch,), 1.073e8),
+            key=key,
+        )
+
+    beam = make(jax.random.PRNGKey(0))
+    track = jax.jit(lambda b: segment.track(b).sigma_x.sum())
+    jax.block_until_ready(track(beam))
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = track(beam)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    pushes_per_s = batch * num_particles * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "particle_pushes_per_s",
+                "value": round(pushes_per_s),
+                "unit": "pushes/s",
+                "batch": batch,
+                "num_particles": num_particles,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--particles", type=int, default=100_000)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+    main(args.batch, args.particles, args.iters)
