@@ -27,6 +27,12 @@ generate_unique_name = UniqueNameGenerator(prefix="unnamed_element")
 #: Full-precision matmul for physics (TPU default is bf16 — not acceptable).
 PRECISION = jax.lax.Precision.HIGHEST
 
+#: Opt-in: apply composed tables to ParticleBeam as coordinate-row
+#: multiply-adds (particle axis on the VPU lanes) instead of densifying to
+#: a (..., 7, 7) matmul.  Off by default pending on-device measurements —
+#: flip per-run to A/B the two layouts on real hardware.
+PARTICLE_ROWS_PATH = False
+
 
 def matmul(a: Array, b: Array) -> Array:
     return jnp.matmul(a, b, precision=PRECISION)
@@ -79,6 +85,38 @@ def apply_table(total, beam: Beam) -> Beam:
         return ParameterBeam(mu, cov, beam.energy, total_charge=beam.total_charge)
     if isinstance(beam, ParticleBeam):
         dtype = beam.particles.dtype
+        if PARTICLE_ROWS_PATH:
+            # Push particles as 7 coordinate rows (..., N) through the
+            # sparse table — 49 fused multiply-adds on the VPU with the
+            # particle axis on the lanes, skipping structural zeros; no
+            # (..., 7, 7) map is densified and no (..., N, 7)-layout
+            # matmul is issued.
+            rows = [beam.particles[..., i] for i in range(7)]
+            expanded = [
+                [c if isinstance(c, float) else c[..., None] for c in row]
+                for row in total
+            ]
+            out_rows = tbl.matvec(expanded, rows)
+            row_shape = jnp.broadcast_shapes(
+                beam.particles.shape[:-1],
+                *[jnp.shape(r) for r in out_rows if not isinstance(r, float)],
+            )
+            particles = jnp.stack(
+                [
+                    jnp.broadcast_to(
+                        jnp.asarray(r, dtype) if isinstance(r, float) else r,
+                        row_shape,
+                    )
+                    for r in out_rows
+                ],
+                axis=-1,
+            )
+            return ParticleBeam(
+                particles,
+                beam.energy,
+                particle_charges=beam.particle_charges,
+                survival=beam.survival,
+            )
         shapes = [
             jnp.shape(c) for row in total for c in row if not isinstance(c, float)
         ]

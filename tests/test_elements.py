@@ -1,5 +1,6 @@
 """Per-element unit tests (SURVEY.md §4 category 4)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -207,3 +208,39 @@ def test_dipole_fringe_field_changes_map():
     tm_plain = plain.transfer_map(energy)
     tm_fringed = fringed.transfer_map(energy)
     assert not np.allclose(np.asarray(tm_plain), np.asarray(tm_fringed))
+
+
+def test_tracking_marker_only_segment():
+    """Reference ``test_tracking_lengthless_elements.py:10-15``: a segment of
+    only zero-length passthrough elements is an identity map."""
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=100, key=jax.random.PRNGKey(0)
+    )
+    out = lt.Segment([lt.Marker(name="start")]).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(out.particles), np.asarray(beam.particles)
+    )
+
+
+def test_tracking_lengthless_between_nonskippable():
+    """Reference ``test_tracking_lengthless_elements.py:18-28``: zero-length
+    skippable runs sandwiched between non-skippable elements must not break
+    run fusion."""
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=100, key=jax.random.PRNGKey(0)
+    )
+    segment = lt.Segment(
+        [
+            lt.Cavity(
+                length=jnp.array([0.1]), voltage=jnp.array([1e6]), name="C2"
+            ),
+            lt.Marker(name="start"),
+            lt.Cavity(
+                length=jnp.array([0.1]), voltage=jnp.array([1e6]), name="C1"
+            ),
+        ]
+    )
+    out = segment.track(beam)
+    assert out is not None
+    assert bool(jnp.all(jnp.isfinite(out.particles)))
+    assert float(out.energy[0]) > float(beam.energy[0])  # both cavities act

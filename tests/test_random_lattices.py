@@ -191,3 +191,29 @@ def test_table_path_matches_matmul_path(seed, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(table._cov), np.asarray(dense._cov), rtol=1e-4, atol=1e-12
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_particle_rows_path_matches_matmul_path(seed, monkeypatch):
+    """The opt-in coordinate-row ParticleBeam table path must reproduce the
+    dense matmul path (f32 roundoff)."""
+    from lynx_tpu.accelerator import element as element_mod
+
+    batch = 4
+    segment = _broadcast_with_jitter(_random_segment(seed), batch, seed + 50)
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=512, key=jax.random.PRNGKey(seed), **BEAM_PARAMS
+    ).broadcast((batch,))
+
+    monkeypatch.setattr(segment_mod, "BATCH_LAST_THRESHOLD", 10**9)
+    dense = segment.track(beam)
+    monkeypatch.setattr(segment_mod, "BATCH_LAST_THRESHOLD", 1)
+    monkeypatch.setattr(element_mod, "PARTICLE_ROWS_PATH", True)
+    rows = segment.track(beam)
+
+    np.testing.assert_allclose(
+        np.asarray(rows.particles),
+        np.asarray(dense.particles),
+        rtol=1e-5,
+        atol=1e-9,
+    )
