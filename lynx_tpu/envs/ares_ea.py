@@ -32,7 +32,10 @@ from lynx_tpu.models import ares_ea_segment
 Array = jax.Array
 
 #: Action scaling: max |k1| for quads (1/m^2), max |angle| for correctors (rad).
-MAGNET_LIMITS = jnp.array([30.0, 30.0, 30.0, 6e-3, 6e-3], dtype=jnp.float32)
+#: Kept as a numpy constant so importing this module needs no device backend.
+import numpy as _np
+
+MAGNET_LIMITS = _np.array([30.0, 30.0, 30.0, 6e-3, 6e-3], dtype=_np.float32)
 
 
 class EnvParams(NamedTuple):

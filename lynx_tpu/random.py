@@ -15,7 +15,10 @@ from typing import Optional
 import jax
 
 
-_default_key = jax.random.PRNGKey(0)
+# Created lazily: a module-level PRNGKey would initialize the device backend
+# at import time, making ``import lynx_tpu`` fail whenever no accelerator is
+# reachable (e.g. a remote-attached TPU that is temporarily unavailable).
+_default_key: Optional[jax.Array] = None
 
 
 def seed(value: int) -> None:
@@ -29,5 +32,7 @@ def next_key(key: Optional[jax.Array] = None) -> jax.Array:
     global _default_key
     if key is not None:
         return key
+    if _default_key is None:
+        _default_key = jax.random.PRNGKey(0)
     _default_key, sub = jax.random.split(_default_key)
     return sub
