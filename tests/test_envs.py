@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lynx_tpu.envs import make_env
 from lynx_tpu.envs.ares_ea import default_params
@@ -113,3 +114,26 @@ def test_batched_reset_shapes():
     assert obs.shape == (n, env.obs_size)
     assert states.magnets.shape == (n, env.num_actions)
     assert states.step_count.shape == (n,)
+
+
+def test_gymnasium_adapter_contract():
+    """The Gym adapter must satisfy the standard API (spaces, reset/step
+    signatures, numpy outputs) so off-the-shelf RL libraries can drive it."""
+    gymnasium = pytest.importorskip("gymnasium")
+    from lynx_tpu.envs.ares_ea import AresEAGymEnv
+
+    env = AresEAGymEnv(seed=0)
+    obs, info = env.reset(seed=42)
+    assert isinstance(obs, np.ndarray) and obs.shape == (env._env.obs_size,)
+    assert isinstance(info, dict)
+    assert env.observation_space.contains(obs.astype(np.float32))
+
+    action = env.action_space.sample()
+    obs2, reward, terminated, truncated, info = env.step(action)
+    assert isinstance(obs2, np.ndarray) and obs2.shape == obs.shape
+    assert isinstance(reward, float) and np.isfinite(reward)
+    assert terminated is False and truncated is False
+
+    # Same seed -> same initial observation (reproducibility).
+    obs3, _ = env.reset(seed=42)
+    np.testing.assert_array_equal(obs3, obs)
