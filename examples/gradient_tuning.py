@@ -27,6 +27,13 @@ from lynx_tpu.envs.ares_ea import MAGNET_LIMITS, default_params
 def main(steps: int = 300) -> None:
     env = make_env()
     params = default_params(jax.random.PRNGKey(42))
+    # Target the beam produced by a reference magnet setting so the optimum
+    # is exactly reachable (a random target can be outside the machine's
+    # attainable set, stalling the loss at its boundary distance).
+    reference_setting = jnp.array([0.3, -0.4, 0.25, 0.3, -0.2])
+    params = params._replace(
+        target=env.beam_parameters(reference_setting, params)
+    )
     print("target (mu_x, sigma_x, mu_y, sigma_y) [mm]:", params.target * 1e3)
 
     def loss_fn(normalized_magnets):
