@@ -217,3 +217,24 @@ def test_particle_rows_path_matches_matmul_path(seed, monkeypatch):
         rtol=1e-5,
         atol=1e-9,
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_transfer_maps_merged_preserves_physics(seed):
+    """``transfer_maps_merged`` must be physics-preserving on random
+    lattices (reference ``test_speed_optimizations.py`` generalized)."""
+    segment = _random_segment(seed, n_elements=10)
+    beam = lt.ParameterBeam.from_parameters(**BEAM_PARAMS)
+    merged = segment.transfer_maps_merged(incoming_beam=beam)
+    assert len(merged.elements) <= len(segment.elements)
+
+    out_ref = segment.track(beam)
+    out_merged = merged.track(beam)
+    for stat in ("mu_x", "mu_y", "sigma_x", "sigma_y", "sigma_s", "sigma_p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_merged, stat)),
+            np.asarray(getattr(out_ref, stat)),
+            rtol=1e-5,
+            atol=1e-10,
+            err_msg=f"seed {seed}: {stat}",
+        )
