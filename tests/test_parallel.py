@@ -125,3 +125,62 @@ def test_batched_env_shards_over_batch_axis():
     assert obs_s.sharding.is_equivalent_to(spec, obs_s.ndim)
     np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(rew_s), np.asarray(rew_ref), rtol=1e-5)
+
+
+def test_sharded_ppo_update_runs_and_matches():
+    """Full PPO update (rollout scan + GAE + Adam) with env state sharded
+    over the batch axis — the single-program multi-chip RL training mode
+    (BASELINE.md: env instances sharded over hosts feeding a sharded
+    learner).  The policy is replicated; XLA inserts the gradient
+    reductions."""
+    import pathlib
+    import sys
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).parent.parent / "examples")
+    )
+    import optax
+    from ppo_ares_ea import MLPPolicy, make_collect_and_update
+
+    from lynx_tpu.envs import make_env
+    from lynx_tpu.envs.ares_ea import default_params
+
+    env = make_env()
+    n = 16
+    env_params = jax.vmap(default_params)(
+        jax.random.split(jax.random.PRNGKey(1), n)
+    )
+    policy = MLPPolicy.init(jax.random.PRNGKey(2), env.obs_size, env.num_actions)
+    optimizer = optax.adam(3e-4)
+    opt_state = optimizer.init(policy)
+    obs, states = env.batched_reset(
+        jax.random.split(jax.random.PRNGKey(0), n), env_params
+    )
+    step = make_collect_and_update(env, env_params, optimizer, rollout=4)
+
+    key = jax.random.PRNGKey(3)
+    _, _, _, _, _, loss_ref, reward_ref = step(
+        policy, opt_state, obs, states, key
+    )
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("batch",))
+    batch_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("batch")
+    )
+    shard = lambda tree: jax.tree.map(
+        lambda x: jax.device_put(x, batch_spec), tree
+    )
+    with mesh:
+        policy_s, opt_s, obs_s, states_s, _, loss_s, reward_s = step(
+            policy, opt_state, shard(obs), shard(states), key
+        )
+        jax.block_until_ready(loss_s)
+
+    # Next obs stays sharded; scalars match the unsharded update.
+    assert obs_s.sharding.is_equivalent_to(batch_spec, obs_s.ndim)
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(reward_s), float(reward_ref), rtol=1e-4)
+    assert all(
+        bool(jnp.all(jnp.isfinite(leaf)))
+        for leaf in jax.tree.leaves(policy_s)
+    )
