@@ -213,7 +213,38 @@ class Dipole(Element):
         )
 
     def split(self, resolution: float) -> list[Element]:
-        return [self]
+        """Split into sector-bend slices with the edge fringe maps kept only
+        at the true entrance/exit (the reference leaves dipole splitting
+        unimplemented, ``dipole.py:196-199`` returns ``[self]``; its
+        ``test_split.py`` marks the dipole case xfail)."""
+        total = float(jnp.max(self.length))
+        if total <= 1e-6:  # zero-length thin kick cannot be split
+            return [self]
+        pieces = []
+        remaining = total
+        while remaining > 1e-6:  # ignore sub-micron float residue
+            piece = min(float(resolution), remaining)
+            pieces.append(piece)
+            remaining -= piece
+        zero = jnp.zeros_like(self.angle)
+        elements: list[Element] = []
+        last = len(pieces) - 1
+        for i, piece in enumerate(pieces):
+            elements.append(
+                Dipole(
+                    length=jnp.full_like(self.length, piece),
+                    angle=self.angle * (piece / total),
+                    e1=self.e1 if i == 0 else zero,
+                    e2=self.e2 if i == last else zero,
+                    tilt=self.tilt,
+                    fringe_integral=self.fringe_integral if i == 0 else zero,
+                    fringe_integral_exit=(
+                        self.fringe_integral_exit if i == last else zero
+                    ),
+                    gap=self.gap,
+                )
+            )
+        return elements
 
     def plot(self, ax, s: float) -> None:
         import numpy as np

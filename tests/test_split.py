@@ -82,10 +82,10 @@ def test_corrector_split_distributes_kick(cls):
             frequency=jnp.array([1.3e9]),
         ),
         lt.Solenoid(length=jnp.array([0.5]), k=jnp.array([1.0])),
-        lt.Dipole(length=jnp.array([0.4]), angle=jnp.array([0.1])),
+        lt.Dipole(length=jnp.array([0.0]), angle=jnp.array([0.01])),
         lt.Undulator(length=jnp.array([0.5])),
     ],
-    ids=["cavity", "solenoid", "dipole", "undulator"],
+    ids=["cavity", "solenoid", "thin-dipole", "undulator"],
 )
 def test_unsplittable_elements_return_self(element):
     assert element.split(resolution=0.1) == [element]
@@ -102,4 +102,47 @@ def test_segment_split_concatenates():
     assert len(splits) == 5 + 2
     np.testing.assert_allclose(
         sum(float(s.length.ravel()[0]) for s in splits), 0.7, rtol=1e-6
+    )
+
+
+def test_dipole_split_end_state_equals_unsplit():
+    """Dipole splitting (unimplemented upstream): sector slices with edge
+    fringes only at the true entry/exit must reproduce the unsplit map."""
+    element = lt.Dipole(
+        length=jnp.array([0.8]),
+        angle=jnp.array([0.12]),
+        e1=jnp.array([0.03]),
+        e2=jnp.array([-0.02]),
+        tilt=jnp.array([0.1]),
+        fringe_integral=jnp.array([0.45]),
+        gap=jnp.array([0.02]),
+    )
+    beam = _beam()
+    unsplit = element.track(beam)
+    pieces = element.split(resolution=0.13)
+    assert len(pieces) == 7  # ceil(0.8 / 0.13)
+    split_out = lt.Segment(pieces).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(split_out.particles),
+        np.asarray(unsplit.particles),
+        rtol=1e-4,
+        atol=1e-9,
+    )
+
+
+def test_rbend_split_end_state_equals_unsplit():
+    element = lt.RBend(
+        length=jnp.array([0.6]),
+        angle=jnp.array([0.08]),
+        fringe_integral=jnp.array([0.3]),
+        gap=jnp.array([0.02]),
+    )
+    beam = _beam()
+    unsplit = element.track(beam)
+    split_out = lt.Segment(element.split(resolution=0.1)).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(split_out.particles),
+        np.asarray(unsplit.particles),
+        rtol=1e-4,
+        atol=1e-9,
     )
