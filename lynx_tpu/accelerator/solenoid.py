@@ -133,7 +133,22 @@ class Solenoid(Element):
         return True
 
     def split(self, resolution: float) -> list[Element]:
-        return [self]
+        """Equal-``k`` slices compose exactly (the interior misalignment
+        exit/entry shifts cancel); unimplemented in the reference
+        (``solenoid.py``)."""
+        split_elements: list[Element] = []
+        remaining = float(jnp.max(self.length))
+        while remaining > 1e-6:  # ignore sub-micron float residue
+            piece = min(float(resolution), remaining)
+            split_elements.append(
+                Solenoid(
+                    jnp.full_like(self.length, piece),
+                    k=self.k,
+                    misalignment=self.misalignment,
+                )
+            )
+            remaining -= piece
+        return split_elements or [self]
 
     def plot(self, ax, s: float) -> None:
         from matplotlib.patches import Rectangle

@@ -81,7 +81,20 @@ class Undulator(Element):
         return True
 
     def split(self, resolution: float) -> list[Element]:
-        return [self]
+        """Drift-like map is linear in length, so slices compose exactly;
+        unimplemented in the reference (``undulator.py``)."""
+        split_elements: list[Element] = []
+        remaining = float(jnp.max(self.length))
+        while remaining > 1e-6:  # ignore sub-micron float residue
+            piece = min(float(resolution), remaining)
+            split_elements.append(
+                Undulator(
+                    jnp.full_like(self.length, piece),
+                    is_active=self.is_active,
+                )
+            )
+            remaining -= piece
+        return split_elements or [self]
 
     def plot(self, ax, s: float) -> None:
         from matplotlib.patches import Rectangle

@@ -81,11 +81,9 @@ def test_corrector_split_distributes_kick(cls):
             voltage=jnp.array([1e7]),
             frequency=jnp.array([1.3e9]),
         ),
-        lt.Solenoid(length=jnp.array([0.5]), k=jnp.array([1.0])),
         lt.Dipole(length=jnp.array([0.0]), angle=jnp.array([0.01])),
-        lt.Undulator(length=jnp.array([0.5])),
     ],
-    ids=["cavity", "solenoid", "thin-dipole", "undulator"],
+    ids=["cavity", "thin-dipole"],
 )
 def test_unsplittable_elements_return_self(element):
     assert element.split(resolution=0.1) == [element]
@@ -140,6 +138,33 @@ def test_rbend_split_end_state_equals_unsplit():
     beam = _beam()
     unsplit = element.track(beam)
     split_out = lt.Segment(element.split(resolution=0.1)).track(beam)
+    np.testing.assert_allclose(
+        np.asarray(split_out.particles),
+        np.asarray(unsplit.particles),
+        rtol=1e-4,
+        atol=1e-9,
+    )
+
+
+@pytest.mark.parametrize(
+    "element",
+    [
+        lt.Solenoid(
+            length=jnp.array([0.5]),
+            k=jnp.array([3.0]),
+            misalignment=jnp.array([[1e-4, -2e-4]]),
+        ),
+        lt.Undulator(length=jnp.array([0.5])),
+    ],
+    ids=["solenoid", "undulator"],
+)
+def test_exactly_composing_splits(element):
+    """Solenoid/undulator slices compose exactly (unimplemented upstream)."""
+    beam = _beam()
+    unsplit = element.track(beam)
+    pieces = element.split(resolution=0.12)
+    assert len(pieces) == 5
+    split_out = lt.Segment(pieces).track(beam)
     np.testing.assert_allclose(
         np.asarray(split_out.particles),
         np.asarray(unsplit.particles),
