@@ -275,7 +275,28 @@ class Cavity(Element):
         )
 
     def split(self, resolution: float) -> list[Element]:
-        return [self]
+        """Split into slices carrying a length-proportional share of the
+        voltage (same phase/frequency).  The composition converges to the
+        unsplit Rosenzweig-Serafini map as the slices shrink (O(1/n^2)) —
+        it is an approximation, not exact like the pure-linear elements.
+        Unimplemented in the reference (``cavity.py``)."""
+        total = float(jnp.max(self.length))
+        if total <= 1e-6:
+            return [self]
+        split_elements: list[Element] = []
+        remaining = total
+        while remaining > 1e-6:  # ignore sub-micron float residue
+            piece = min(float(resolution), remaining)
+            split_elements.append(
+                Cavity(
+                    jnp.full_like(self.length, piece),
+                    voltage=self.voltage * (piece / total),
+                    phase=self.phase,
+                    frequency=self.frequency,
+                )
+            )
+            remaining -= piece
+        return split_elements
 
     def plot(self, ax, s: float) -> None:
         from matplotlib.patches import Rectangle

@@ -76,14 +76,9 @@ def test_corrector_split_distributes_kick(cls):
 @pytest.mark.parametrize(
     "element",
     [
-        lt.Cavity(
-            length=jnp.array([1.0]),
-            voltage=jnp.array([1e7]),
-            frequency=jnp.array([1.3e9]),
-        ),
         lt.Dipole(length=jnp.array([0.0]), angle=jnp.array([0.01])),
     ],
-    ids=["cavity", "thin-dipole"],
+    ids=["thin-dipole"],
 )
 def test_unsplittable_elements_return_self(element):
     assert element.split(resolution=0.1) == [element]
@@ -171,3 +166,28 @@ def test_exactly_composing_splits(element):
         rtol=1e-4,
         atol=1e-9,
     )
+
+
+def test_cavity_split_converges_to_unsplit():
+    """Cavity slices (voltage split length-proportionally) converge to the
+    unsplit Rosenzweig-Serafini map as slices shrink."""
+    element = lt.Cavity(
+        length=jnp.array([1.0]),
+        voltage=jnp.array([2e7]),
+        phase=jnp.array([-15.0]),
+        frequency=jnp.array([1.3e9]),
+    )
+    beam = _beam()
+    unsplit = element.track(beam)
+
+    def max_err(resolution):
+        out = lt.Segment(element.split(resolution)).track(beam)
+        return float(jnp.abs(out.particles - unsplit.particles).max())
+
+    np.testing.assert_allclose(
+        sum(float(p.voltage[0]) for p in element.split(0.25)), 2e7, rtol=1e-6
+    )
+    # At these parameters the slice composition already matches the unsplit
+    # map to f32 roundoff (the O(1/n^2) approximation error is far below it).
+    assert max_err(0.5) < 1e-7
+    assert max_err(0.125) < 1e-7
