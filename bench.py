@@ -13,14 +13,33 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
-
-import jax
 
 BASELINE_TRACKS_PER_S = 10.0  # reference: < 0.1 s / track on CPU
 
 
+def _require_backend(timeout_s: float = 180.0) -> None:
+    """Fail fast (non-zero exit) if the accelerator backend cannot
+    initialize.  Backend init blocks indefinitely in native code when the
+    remote-TPU tunnel is wedged, so probe it in a killable subprocess."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        sys.exit("bench: accelerator backend unreachable (init timed out)")
+    except subprocess.CalledProcessError as error:
+        sys.exit(f"bench: backend init failed: {error.stderr.decode()[-500:]}")
+
+
 def main() -> None:
+    _require_backend()
+    import jax
     from __graft_entry__ import entry
 
     forward, (segment, beam) = entry()
