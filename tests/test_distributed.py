@@ -1,0 +1,105 @@
+"""Multi-process distributed-runtime test (SURVEY.md §2.4 comm-backend row).
+
+Spawns two OS processes ("hosts") that initialize ``jax.distributed`` over
+CPU with Gloo collectives, build one global ``(batch, particles)`` mesh
+spanning both, and run a sharded gradient-tuning loop.  Asserts the two
+processes agree and that the distributed result matches a single-process
+run — i.e. the cross-host gradient all-reduce and replicated update are
+correct.  This is the fake-backend stand-in the reference never had for
+real multi-host TPU pods (BASELINE.md ≥2-host scaling target; launch
+recipe in docs/distributed.md).
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import lynx_tpu as lt
+from lynx_tpu.functional import track
+
+import distributed_worker as dw
+
+NPROC = 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def distributed_results(tmp_path_factory):
+    outdir = tmp_path_factory.mktemp("dist")
+    port = _free_port()
+    worker = Path(__file__).parent / "distributed_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker), str(port), str(i), str(NPROC), str(outdir)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(NPROC)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+    return [
+        json.loads((outdir / f"result_{i}.json").read_text()) for i in range(NPROC)
+    ]
+
+
+def _single_process_reference():
+    """The same tuning loop, unsharded, in this (non-distributed) process."""
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.asarray(dw.SIGMA_X_GLOBAL),
+        sigma_y=jnp.full((dw.BATCH,), 2e-4),
+        energy=jnp.full((dw.BATCH,), 1.073e8),
+    )
+    segment = dw.make_segment(lt, jnp)
+    optimizer = optax.adam(1e-1)
+    opt_state = optimizer.init(segment)
+
+    def loss_fn(seg, b):
+        out, _ = track(seg, b)
+        return jnp.mean((out.sigma_x - 5e-5) ** 2) * 1e8
+
+    @jax.jit
+    def step(seg, opt_state, b):
+        loss, grads = jax.value_and_grad(loss_fn)(seg, b)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(seg, updates), opt_state, loss
+
+    for _ in range(dw.STEPS):
+        segment, opt_state, loss = step(segment, opt_state, beam)
+    return float(loss), float(jnp.reshape(segment.elements[1].k1, ()))
+
+
+def test_processes_agree(distributed_results):
+    r0, r1 = distributed_results
+    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-12)
+    assert r0["k1"] == pytest.approx(r1["k1"], rel=1e-12)
+
+
+def test_matches_single_process(distributed_results):
+    loss_ref, k1_ref = _single_process_reference()
+    r0 = distributed_results[0]
+    np.testing.assert_allclose(r0["loss"], loss_ref, rtol=1e-8)
+    np.testing.assert_allclose(r0["k1"], k1_ref, rtol=1e-8)
