@@ -25,6 +25,9 @@ import scipy.constants
 from scipy.constants import physical_constants
 
 import lynx_tpu
+from lynx_tpu.log import get_logger
+
+logger = get_logger("converters.bmad")
 
 
 def read_clean_lines(lattice_file_path: Path) -> list[str]:
@@ -396,9 +399,11 @@ def convert_element(name: str, context: dict) -> "lynx_tpu.Element":
         validate_understood_properties(["element_type", "tilt"], parsed)
         return lynx_tpu.Drift(length=arr("l", 0.0), name=name)
 
-    print(
-        f"WARNING: Element {name} of type {element_type} cannot be converted"
-        " correctly. Using drift section instead."
+    logger.warning(
+        "Element %s of type %s cannot be converted correctly. Using drift"
+        " section instead.",
+        name,
+        element_type,
     )
     return lynx_tpu.Drift(length=arr("l", 0.0), name=name)
 

@@ -12,6 +12,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 import lynx_tpu
+from lynx_tpu.log import get_logger
+
+logger = get_logger("converters.ocelot")
 
 
 def _class_names(element) -> list[str]:
@@ -96,8 +99,8 @@ def ocelot2lynx(element, warnings: bool = True, dtype=jnp.float32):
     if "Monitor" in names and "BSC" in (element.id or ""):
         # ARES-specific: BSC monitors are diagnostic screens.
         if warnings:
-            print(
-                "WARNING: Diagnostic screen was converted with default screen"
+            logger.warning(
+                "Diagnostic screen was converted with default screen"
                 " properties."
             )
         return lynx_tpu.Screen(
@@ -128,9 +131,10 @@ def ocelot2lynx(element, warnings: bool = True, dtype=jnp.float32):
         return lynx_tpu.Drift(length=arr(element.l), name=element.id, dtype=dtype)
 
     if warnings:
-        print(
-            f"WARNING: Unknown element {element.id} of type {type(element)},"
-            " replacing with drift section."
+        logger.warning(
+            "Unknown element %s of type %s, replacing with drift section.",
+            element.id,
+            type(element),
         )
     return lynx_tpu.Drift(
         length=arr(getattr(element, "l", 0.0)), name=element.id, dtype=dtype

@@ -82,10 +82,14 @@ class AresEATransverseTuning:
     num_actions = 5
     obs_size = 5 + 4 + 4  # magnets + current beam params + target
 
-    def __init__(self) -> None:
+    def __init__(self, log_metrics: bool = False) -> None:
         segment = ares_ea_segment()
         segment.AREABSCR1.is_active = False
         self._segment = segment
+        #: When True, every (batched) step emits structured beam-stat
+        #: metrics through the ``lynx_tpu.metrics`` logger — jit-safe via
+        #: ``jax.debug.callback`` (SURVEY.md §5 metrics row).
+        self.log_metrics = log_metrics
 
     # -- physics -----------------------------------------------------------
     def beam_parameters(self, magnets: Array, params: EnvParams) -> Array:
@@ -205,6 +209,19 @@ class AresEATransverseTuning:
         obs = jnp.concatenate(
             [magnets, beam * 1e3, params.target * 1e3], axis=-1
         )
+        if self.log_metrics:
+            from lynx_tpu.metrics import emit_metrics
+
+            emit_metrics(
+                {
+                    "mu_x": jnp.mean(beam[..., 0]),
+                    "sigma_x": jnp.mean(beam[..., 1]),
+                    "mu_y": jnp.mean(beam[..., 2]),
+                    "sigma_y": jnp.mean(beam[..., 3]),
+                    "reward": jnp.mean(rewards),
+                },
+                step=next_states.step_count,
+            )
         return obs, next_states, rewards, dones
 
     def batched_reset(
@@ -260,11 +277,24 @@ class AresEATransverseTuning:
         reward = -jnp.sum(jnp.abs(beam - params.target)) * 1e3
         done = next_state.step_count >= params.max_steps
         obs = jnp.concatenate([magnets, beam * 1e3, params.target * 1e3])
+        if self.log_metrics:
+            from lynx_tpu.metrics import emit_metrics
+
+            emit_metrics(
+                {
+                    "mu_x": beam[0],
+                    "sigma_x": beam[1],
+                    "mu_y": beam[2],
+                    "sigma_y": beam[3],
+                    "reward": reward,
+                },
+                step=next_state.step_count,
+            )
         return obs, next_state, reward, done
 
 
-def make_env() -> AresEATransverseTuning:
-    return AresEATransverseTuning()
+def make_env(log_metrics: bool = False) -> AresEATransverseTuning:
+    return AresEATransverseTuning(log_metrics=log_metrics)
 
 
 try:  # pragma: no cover - optional dependency adapter
