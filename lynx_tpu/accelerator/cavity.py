@@ -208,7 +208,11 @@ class Cavity(Element):
             # ParameterBeam-vs-ParticleBeam consistency contract
             # (``tests/test_compare_beam_type.py``); linear moment transport
             # is the consistent Gaussian treatment and matches the sampled
-            # beam to first order.
+            # beam to first order.  Adjudicated by Monte Carlo against the
+            # Bmad-validated particle path in
+            # ``tests/test_cavity_covariance_adjudication.py``: our cov
+            # matches the sampled moments to ~0.5%, the reference's
+            # overwrite is ~16x off on sigma_p^2 and ~1000x on sigma_s^2.
             mu_in = incoming._mu
             p_updated = mu_in[..., 5] * energy * beta0 / (
                 out_E_safe * beta1
