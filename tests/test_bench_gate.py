@@ -1,0 +1,48 @@
+"""Perf regression gate tests (VERDICT r1 item 7).
+
+``bench.py --check`` compares the fresh result against the stored
+``.bench_baseline.json`` and exits non-zero on a >20% throughput drop.
+The comparison logic is pure — these tests demonstrate the gate trips on
+an induced slowdown and stays quiet within tolerance.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+spec = importlib.util.spec_from_file_location(
+    "bench", Path(__file__).parent.parent / "bench.py"
+)
+bench = importlib.util.module_from_spec(spec)
+sys.modules["bench"] = bench
+spec.loader.exec_module(bench)
+
+
+BASE = {
+    "value": 1000.0,
+    "serial_tracks_per_s": 400.0,
+    "sweep_env_steps_per_s": 5e7,
+}
+
+
+def test_gate_trips_on_induced_slowdown():
+    slow = dict(BASE, value=700.0)  # 30% drop
+    failures = bench.check_regression(slow, BASE)
+    assert len(failures) == 1
+    assert "value" in failures[0]
+
+
+def test_gate_quiet_within_tolerance():
+    ok = dict(BASE, value=850.0, sweep_env_steps_per_s=4.5e7)  # <=20% drops
+    assert bench.check_regression(ok, BASE) == []
+
+
+def test_gate_catches_sweep_regression_only():
+    slow = dict(BASE, sweep_env_steps_per_s=1e7)
+    failures = bench.check_regression(slow, BASE)
+    assert len(failures) == 1
+    assert "sweep_env_steps_per_s" in failures[0]
+
+
+def test_gate_ignores_missing_keys():
+    assert bench.check_regression({"value": 1.0}, {}) == []

@@ -28,14 +28,23 @@ def test_ares_ea_track_and_read_speed():
     )
 
     jitted = jax.jit(lambda s, b: track(s, b)[1]["AREABSCR1"])
-    jax.block_until_ready(jitted(segment, beam))  # compile
-
-    start = time.perf_counter()
     image = jitted(segment, beam)
-    jax.block_until_ready(image)
-    elapsed = time.perf_counter() - start
-
+    jax.block_until_ready(image)  # compile
     assert image.shape == (1, 2040, 2448)
-    # Reference bar: < 0.1 s on its CI CPU. Generous margin for the
-    # emulation backend; the TPU figure is tracked by bench.py.
-    assert elapsed < 2.0, f"track + screen read took {elapsed:.3f}s"
+
+    # Enforce the reference's own CPU bar (< 0.1 s warm; reference
+    # ``tests/test_speed.py:21-28``) — we run ~15-35 ms here even with
+    # x64 on.  Best-of-3 irons out scheduler noise; the TPU figure and the
+    # 20% regression gate live in bench.py.
+    elapsed = min(
+        _timed_call(jitted, segment, beam),
+        _timed_call(jitted, segment, beam),
+        _timed_call(jitted, segment, beam),
+    )
+    assert elapsed < 0.1, f"track + screen read took {elapsed:.3f}s"
+
+
+def _timed_call(jitted, segment, beam) -> float:
+    start = time.perf_counter()
+    jax.block_until_ready(jitted(segment, beam))
+    return time.perf_counter() - start
