@@ -128,9 +128,10 @@ def fused_moment_sweep(
     cov: Array,
 ) -> Tuple[Array, Array]:
     """Differentiable fused sweep: forward runs the Pallas kernel; the
-    backward pass (``pallas_call`` has no automatic VJP) differentiates the
-    mathematically-identical XLA table implementation at the same inputs —
-    so ``jax.grad`` of large-batch tuning losses works transparently.
+    backward pass runs a second fused Pallas kernel (``_bwd_kernel``) that
+    rebuilds the per-element maps in VMEM with their VJPs and chain-rules
+    the cotangents through the table product — large-batch ``jax.grad``
+    training never falls back to the HBM-bound XLA table chain.
     """
     n_params = tuple(len(params) for params in element_params)
     flat_params = tuple(p for params in element_params for p in params)
@@ -151,19 +152,213 @@ def fused_moment_sweep(
 
     def bwd(residuals, cotangents):
         flat_params, energy, mu, cov = residuals
-        _, vjp = jax.vjp(
-            lambda fp, e, m, c: _table_reference_sweep(
-                build_fns, n_params, fp, e, m, c
-            ),
-            flat_params,
-            energy,
-            mu,
-            cov,
+        dmu_out, dcov_out = cotangents
+        return _fused_moment_sweep_bwd_impl(
+            build_fns, n_params, flat_params, energy, mu, cov, dmu_out, dcov_out
         )
-        return vjp(cotangents)
 
     sweep.defvjp(fwd, bwd)
     return sweep(flat_params, energy, mu, cov)
+
+
+#: Backward-kernel batch tile.  Smaller than the forward's: the backward
+#: keeps every element's prefix product (a near-dense table of (TILE,)
+#: cells) live in VMEM at once.
+BWD_TILE = 1024
+
+
+def _make_arr_build(build, n_params_i):
+    """Wrap a table builder as ``f(params_tuple, energy) -> tuple(arrays)``
+    returning only the non-literal cells (jax.vjp cannot differentiate a
+    pytree containing Python-float structural cells).  The literal layout is
+    input-independent, so positions recorded during tracing are stable."""
+
+    def arr_build(params_tuple, energy):
+        table = build(list(params_tuple), energy)
+        return tuple(
+            table[r][c]
+            for r in range(7)
+            for c in range(7)
+            if not tbl._is_literal(table[r][c])
+        )
+
+    return arr_build
+
+
+def _bwd_kernel(build_fns, n_params, *refs):
+    """Fused backward: refs =
+    [param_0..param_{P-1}, energy, mu, cov, dmu, dcov,
+     d_param_0..d_param_{P-1}, d_energy, d_mu, d_cov].
+
+    Math (T = R_{L-1} ... R_0, out_mu = T mu, out_cov = T C T^T):
+      d_mu  = T^T dmu
+      d_cov = T^T dcov T
+      dT    = dmu mu^T + dcov T C^T + dcov^T T C
+      dR_i  = L_i^T dT M_i^T   with L_i = R_{L-1}..R_{i+1}, M_i = R_{i-1}..R_0
+      (dparams_i, denergy_i) = vjp(build_i)(dR_i at the non-literal cells)
+    """
+    num_elements = len(build_fns)
+    total_params = sum(n_params)
+    param_refs = refs[:total_params]
+    energy_ref = refs[total_params]
+    mu_ref = refs[total_params + 1]
+    cov_ref = refs[total_params + 2]
+    dmu_ref = refs[total_params + 3]
+    dcov_ref = refs[total_params + 4]
+    out = refs[total_params + 5 :]
+    d_param_refs = out[:total_params]
+    d_energy_ref = out[total_params]
+    d_mu_ref = out[total_params + 1]
+    d_cov_ref = out[total_params + 2]
+
+    energy = energy_ref[...]
+    dtype = energy.dtype
+    shape = energy.shape
+
+    # Forward re-pass: per-element tables (with VJPs) and prefix products.
+    tables = []
+    vjps = []
+    positions = []
+    prefixes = []  # M_i = R_{i-1} ... R_0 (M_0 = I)
+    prefix = tbl.identity_table()
+    offset = 0
+    for index in range(num_elements):
+        params = tuple(
+            param_refs[offset + k][...] for k in range(n_params[index])
+        )
+        offset += n_params[index]
+        # Structure/literal layout (traced once more; XLA/Mosaic CSE dedupes
+        # against the vjp forward below).
+        struct = build_fns[index](list(params), energy)
+        pos = [
+            (r, c)
+            for r in range(7)
+            for c in range(7)
+            if not tbl._is_literal(struct[r][c])
+        ]
+        cells, vjp_fn = jax.vjp(
+            _make_arr_build(build_fns[index], n_params[index]), params, energy
+        )
+        assert len(cells) == len(pos), "builder cell layout not input-stable"
+        table = [row[:] for row in struct]
+        for (r, c), cell in zip(pos, cells):
+            table[r][c] = cell
+        tables.append(table)
+        vjps.append(vjp_fn)
+        positions.append(pos)
+        prefixes.append(prefix)
+        prefix = tbl.compose(table, prefix)
+    T = prefix
+
+    mu_cells = [mu_ref[i, :] for i in range(7)]
+    cov_table = [[cov_ref[i, j, :] for j in range(7)] for i in range(7)]
+    dmu_cells = [dmu_ref[i, :] for i in range(7)]
+    dcov_table = [[dcov_ref[i, j, :] for j in range(7)] for i in range(7)]
+
+    T_t = tbl.transpose_table(T)
+    d_mu_cells = tbl.matvec(T_t, dmu_cells)
+    d_cov_table = tbl.compose(T_t, tbl.compose(dcov_table, T))
+
+    # dT = dmu mu^T + dcov T C^T + dcov^T T C (exact general form).
+    TCt = tbl.compose(T, tbl.transpose_table(cov_table))
+    TC = tbl.compose(T, cov_table)
+    dT = tbl.add_tables(
+        tbl.outer_table(dmu_cells, mu_cells),
+        tbl.add_tables(
+            tbl.compose(dcov_table, TCt),
+            tbl.compose(tbl.transpose_table(dcov_table), TC),
+        ),
+    )
+
+    # Reverse pass: suffix products + per-element parameter cotangents.
+    d_energy = jnp.zeros(shape, dtype=dtype)
+    suffix = tbl.identity_table()  # L_i = R_{L-1} ... R_{i+1}
+    flat_index = total_params
+    for index in reversed(range(num_elements)):
+        flat_index -= n_params[index]
+        dR = tbl.compose(
+            tbl.transpose_table(suffix),
+            tbl.compose(dT, tbl.transpose_table(prefixes[index])),
+        )
+        cotangents = tuple(
+            tbl.broadcast_cell(dR[r][c], shape, dtype)
+            for (r, c) in positions[index]
+        )
+        d_params, d_e = vjps[index](cotangents)
+        for k in range(n_params[index]):
+            d_param_refs[flat_index + k][...] = tbl.broadcast_cell(
+                d_params[k], shape, dtype
+            )
+        d_energy = d_energy + d_e
+        suffix = tbl.compose(suffix, tables[index])
+
+    d_energy_ref[...] = d_energy
+    for i in range(7):
+        d_mu_ref[i, :] = tbl.broadcast_cell(d_mu_cells[i], shape, dtype)
+        for j in range(7):
+            d_cov_ref[i, j, :] = tbl.broadcast_cell(
+                d_cov_table[i][j], shape, dtype
+            )
+
+
+def _fused_moment_sweep_bwd_impl(
+    build_fns, n_params, flat_params, energy, mu, cov, dmu_out, dcov_out
+):
+    """Run the fused backward kernel; returns (d_flat_params, d_energy,
+    d_mu, d_cov) matching the custom_vjp primal signature."""
+    B = energy.shape[0]
+    tile = min(BWD_TILE, max(B, 1))
+    dtype = mu.dtype
+    energy = energy.astype(dtype)
+    cov = cov.astype(dtype)
+    flat_params = tuple(p.astype(dtype) for p in flat_params)
+    dmu_out = dmu_out.astype(dtype)
+    dcov_out = dcov_out.astype(dtype)
+
+    if B % tile != 0:
+        pad = tile - B % tile
+        flat_params = tuple(jnp.pad(p, (0, pad)) for p in flat_params)
+        energy = jnp.pad(energy, (0, pad), constant_values=1.0)
+        mu = jnp.pad(mu, ((0, pad), (0, 0)))
+        cov = jnp.pad(cov, ((0, pad), (0, 0), (0, 0)))
+        dmu_out = jnp.pad(dmu_out, ((0, pad), (0, 0)))
+        dcov_out = jnp.pad(dcov_out, ((0, pad), (0, 0), (0, 0)))
+    padded = energy.shape[0]
+    grid = padded // tile
+
+    mu_bl = jnp.moveaxis(mu, 0, -1)
+    cov_bl = jnp.moveaxis(cov, 0, -1)
+    dmu_bl = jnp.moveaxis(dmu_out, 0, -1)
+    dcov_bl = jnp.moveaxis(dcov_out, 0, -1)
+
+    vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cov_spec = pl.BlockSpec(
+        (7, 7, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+
+    n_flat = len(flat_params)
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, build_fns, tuple(n_params)),
+        grid=(grid,),
+        in_specs=[vec_spec] * n_flat
+        + [vec_spec, mu_spec, cov_spec, mu_spec, cov_spec],
+        out_specs=tuple([vec_spec] * n_flat + [vec_spec, mu_spec, cov_spec]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((padded,), dtype)] * n_flat
+            + [
+                jax.ShapeDtypeStruct((padded,), dtype),
+                jax.ShapeDtypeStruct((7, padded), dtype),
+                jax.ShapeDtypeStruct((7, 7, padded), dtype),
+            ]
+        ),
+    )(*flat_params, energy, mu_bl, cov_bl, dmu_bl, dcov_bl)
+
+    d_flat = tuple(o[:B] for o in outs[:n_flat])
+    d_energy = outs[n_flat][:B]
+    d_mu = jnp.moveaxis(outs[n_flat + 1], -1, 0)[:B]
+    d_cov = jnp.moveaxis(outs[n_flat + 2], -1, 0)[:B]
+    return d_flat, d_energy, d_mu, d_cov
 
 
 def _fused_moment_sweep_impl(

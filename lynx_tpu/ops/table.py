@@ -110,6 +110,21 @@ def cov_sandwich(table: Table, cov: Table) -> Table:
     return out
 
 
+def transpose_table(table: Table) -> Table:
+    """``T^T`` (free at trace time)."""
+    return [[table[j][i] for j in range(7)] for i in range(7)]
+
+
+def add_tables(a: Table, b: Table) -> Table:
+    """Cell-wise ``A + B`` with literal-zero short-circuiting."""
+    return [[_add(a[i][j], b[i][j]) for j in range(7)] for i in range(7)]
+
+
+def outer_table(u: List[Cell], v: List[Cell]) -> Table:
+    """Rank-1 table ``u v^T``."""
+    return [[_mul(u[i], v[j]) for j in range(7)] for i in range(7)]
+
+
 def where_table(mask: Array, then_table: Table, else_table: Table) -> Table:
     """Cell-wise ``jnp.where`` merge of two tables (literals preserved when
     both branches agree)."""

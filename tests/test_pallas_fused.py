@@ -257,3 +257,76 @@ def test_fused_sweep_gradient_flows(interpreted_pallas):
     np.testing.assert_allclose(
         np.asarray(g_fused), np.asarray(g_ref), rtol=1e-3, atol=1e-10
     )
+
+
+def test_fused_backward_full_vjp_parity(interpreted_pallas):
+    """The fused Pallas backward kernel's cotangents (params, energy, mu,
+    cov) match jax.vjp of the XLA table reference at 1e-6 — the VERDICT r1
+    item-3 done-criterion — over the full element mix (dipole with fringe,
+    solenoid, tilted+misaligned quad, correctors, undulator)."""
+    from lynx_tpu.ops import pallas_track
+    from lynx_tpu.ops.pallas_track import _table_reference_sweep
+
+    B = 192  # deliberately not a multiple of the tile (exercises padding)
+    elements = [
+        lt.Dipole(
+            jnp.full((B,), 0.31),
+            angle=jnp.full((B,), 0.1),
+            e1=jnp.full((B,), 0.05),
+            fringe_integral=jnp.full((B,), 0.3),
+            gap=jnp.full((B,), 0.05),
+        ),
+        lt.Quadrupole(
+            jnp.full((B,), 0.23),
+            k1=jnp.linspace(-5, 5, B),
+            tilt=jnp.full((B,), 0.1),
+            misalignment=jnp.stack(
+                [jnp.full((B,), 1e-4), jnp.full((B,), -2e-4)], axis=-1
+            ),
+        ),
+        lt.Solenoid(jnp.full((B,), 0.4), k=jnp.full((B,), 1.1)),
+        lt.HorizontalCorrector(jnp.full((B,), 0.1), angle=jnp.full((B,), 1e-4)),
+        lt.Undulator(jnp.full((B,), 0.25)),
+    ]
+    energy = jnp.full((B,), 1.073e8, dtype=jnp.float32)
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1.75e-4),
+        sigma_p=jnp.full((B,), 2e-3),
+        energy=energy,
+    )
+    builders = [element_map_builder(el) for el in elements]
+    build_fns = [fn for _, fn in builders]
+    element_params = [params for params, _ in builders]
+    n_params = tuple(len(p) for p in element_params)
+    flat_params = tuple(p for params in element_params for p in params)
+
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    dmu = jax.random.normal(k1, (B, 7), dtype=jnp.float32)
+    dcov = jax.random.normal(k2, (B, 7, 7), dtype=jnp.float32)
+
+    # Fused Pallas backward.
+    d_fused = pallas_track._fused_moment_sweep_bwd_impl(
+        build_fns, n_params, flat_params, energy, beam._mu, beam._cov, dmu, dcov
+    )
+    # XLA table-reference VJP at the same inputs/cotangents.
+    _, vjp = jax.vjp(
+        lambda fp, e, m, c: _table_reference_sweep(
+            build_fns, n_params, fp, e, m, c
+        ),
+        flat_params,
+        energy,
+        beam._mu,
+        beam._cov,
+    )
+    d_ref = vjp((dmu, dcov))
+
+    for fused_leaf, ref_leaf in zip(
+        jax.tree_util.tree_leaves(d_fused), jax.tree_util.tree_leaves(d_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(fused_leaf),
+            np.asarray(ref_leaf),
+            rtol=1e-6,
+            atol=1e-6 * max(1.0, float(np.max(np.abs(np.asarray(ref_leaf))))),
+        )
