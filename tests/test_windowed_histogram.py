@@ -1,0 +1,161 @@
+"""Windowed MXU one-hot-matmul histogram (TPU fast path for screen reads).
+
+Exactness contract: ``windowed_matmul_histogram_2d`` must match the scatter
+path (``weighted_histogram_2d``, itself pinned against numpy.histogram2d in
+``test_screen.py``) to f32 rounding — via the MXU kernel when the beam spot
+fits the window and via the built-in fallback when it does not.  Runs in
+Pallas interpreter mode on the CPU CI backend; reference semantics:
+``/root/reference/lynx/accelerator/screen.py:143-216``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import lynx_tpu.ops.histogram as hist_mod
+from lynx_tpu.ops.histogram import (
+    weighted_histogram_2d,
+    windowed_matmul_histogram_2d,
+)
+
+BINS = (612, 510)  # quarter-res ARES screen: big enough to exercise windowing
+
+
+@pytest.fixture
+def interpreted_pallas(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def _spot(key, n, sigma_px, center, bins, ranges):
+    """Gaussian spot in physical coordinates: sigma/center given in pixels."""
+    (x_lo, x_hi), (y_lo, y_hi) = ranges
+    px = (x_hi - x_lo) / bins[0]
+    py = (y_hi - y_lo) / bins[1]
+    kx, ky = jax.random.split(key)
+    x = center[0] * px + x_lo + sigma_px * px * jax.random.normal(kx, (n,))
+    y = center[1] * py + y_lo + sigma_px * py * jax.random.normal(ky, (n,))
+    return x, y
+
+
+RANGES = ((jnp.float32(-4.3e-3), jnp.float32(4.3e-3)),
+          (jnp.float32(-2.5e-3), jnp.float32(2.5e-3)))
+
+
+def test_matmul_path_matches_scatter(interpreted_pallas):
+    x, y = _spot(jax.random.PRNGKey(0), 5_000, 20.0, (300.0, 250.0), BINS, RANGES)
+    w = jnp.ones_like(x)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert float(out.sum()) == pytest.approx(5_000.0)
+
+
+def test_fractional_weights_two_pass(interpreted_pallas):
+    key = jax.random.PRNGKey(1)
+    x, y = _spot(key, 3_000, 15.0, (100.0, 400.0), BINS, RANGES)
+    w = jax.random.uniform(jax.random.fold_in(key, 7), (3_000,), minval=0.1)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_bf16_exact_weights_single_pass(interpreted_pallas):
+    key = jax.random.PRNGKey(2)
+    x, y = _spot(key, 4_000, 25.0, (306.0, 255.0), BINS, RANGES)
+    w = (jax.random.uniform(jax.random.fold_in(key, 3), (4_000,)) > 0.3).astype(
+        jnp.float32
+    )  # 0/1 survival-style mask
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(
+        x, y, w, *RANGES, BINS, bf16_exact_weights=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_oversize_spot_falls_back_to_scatter(interpreted_pallas):
+    key = jax.random.PRNGKey(3)
+    kx, ky = jax.random.split(key)
+    # Uniform across the whole image: cannot fit any 512-px window.
+    x = jax.random.uniform(kx, (2_000,), minval=RANGES[0][0], maxval=RANGES[0][1])
+    y = jax.random.uniform(ky, (2_000,), minval=RANGES[1][0], maxval=RANGES[1][1])
+    w = jnp.ones_like(x)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_out_of_range_and_dead_particles_dropped(interpreted_pallas):
+    x, y = _spot(jax.random.PRNGKey(4), 1_000, 10.0, (50.0, 60.0), BINS, RANGES)
+    # Push some particles off-screen; kill some others.
+    x = x.at[:100].set(RANGES[0][1] * 10)
+    w = jnp.ones_like(x).at[100:200].set(0.0)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert float(out.sum()) == pytest.approx(800.0)
+
+
+def test_batched_input(interpreted_pallas):
+    key = jax.random.PRNGKey(5)
+    xs, ys = [], []
+    for i, center in enumerate([(100.0, 100.0), (500.0, 400.0), (306.0, 255.0),
+                                (50.0, 450.0), (600.0, 60.0), (306.0, 400.0)]):
+        x1, y1 = _spot(jax.random.fold_in(key, i), 500, 8.0, center, BINS, RANGES)
+        xs.append(x1)
+        ys.append(y1)
+    x = jnp.stack(xs).reshape(2, 3, 500)
+    y = jnp.stack(ys).reshape(2, 3, 500)
+    w = jnp.ones_like(x)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    assert out.shape == (2, 3, *BINS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_small_image_shortcuts_to_scatter():
+    # No Pallas needed: window >= image on both axes.
+    x, y = _spot(jax.random.PRNGKey(6), 300, 5.0, (20.0, 30.0), (64, 64), RANGES)
+    w = jnp.ones_like(x)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, (64, 64))
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, (64, 64))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_screen_reading_routes_through_windowed_path(interpreted_pallas, monkeypatch):
+    """A full Screen reading on the forced-matmul path equals the scatter
+    reading, including the camera flip and axis swap."""
+    from lynx_tpu import ParticleBeam, Screen
+
+    beam = ParticleBeam.from_parameters(
+        num_particles=2_000,
+        mu_x=jnp.array(1e-4),
+        sigma_x=jnp.array(7e-5),
+        sigma_y=jnp.array(5e-5),
+        energy=jnp.array(1e8),
+        key=jax.random.PRNGKey(7),
+    )
+    screen = Screen(
+        resolution=(1224, 1020),
+        pixel_size=(7.0976e-6, 5.0006e-6),
+        misalignment=(0.0, 0.0),
+        is_active=True,
+    )
+    screen.track(beam)
+
+    monkeypatch.setattr(hist_mod, "SCREEN_MATMUL_PATH", False)
+    ref = np.asarray(screen.reading)
+    screen.cached_reading = None
+    monkeypatch.setattr(hist_mod, "SCREEN_MATMUL_PATH", True)
+    out = np.asarray(screen.reading)
+    assert ref.shape == (1020, 1224)
+    assert ref.sum() == pytest.approx(2_000.0)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
