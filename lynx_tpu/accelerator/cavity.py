@@ -65,6 +65,12 @@ class Cavity(Element):
 
     @property
     def is_active(self) -> bool:
+        # Under a transformation that traces the voltage (jit-arg segments,
+        # lax.switch over pipeline stages) activity cannot be decided at
+        # trace time: conservatively take the active path, whose per-entry
+        # ``where`` masking is exact for zero-voltage entries anyway.
+        if isinstance(self.voltage, jax.core.Tracer):
+            return True
         return bool(jnp.any(self.voltage != 0))
 
     @property

@@ -4,6 +4,12 @@ from lynx_tpu.parallel.sharding import (  # noqa: F401
     shard_segment,
     make_tuning_train_step,
 )
+from lynx_tpu.parallel.pipeline import (  # noqa: F401
+    STAGE_AXIS,
+    make_pipeline_mesh,
+    pipeline_track,
+    split_into_stages,
+)
 from lynx_tpu.parallel.distributed import (  # noqa: F401
     initialize,
     is_initialized,
