@@ -1,0 +1,129 @@
+"""On-device A/B of the three ParticleBeam tracking layouts.
+
+Resolves VERDICT r1 item 4 ("resolve the two dormant particle fast paths"):
+
+  a) ``matmul``  — the default dense path: compose the sparse table, densify
+     to ``(B, 7, 7)``, push ``(B, N, 7)`` through one batched matmul.
+  b) ``rows``    — ``element.PARTICLE_ROWS_PATH``: apply the composed sparse
+     table to the 7 coordinate rows ``(B, N)`` directly on the VPU lanes.
+  c) ``pallas``  — ``ops/pallas_track.fused_particle_sweep``: compose the
+     table's dynamic cells in XLA once per setting, then a Pallas kernel
+     streams particle tiles through VMEM (coords on sublanes, particles on
+     lanes) applying scalar-prefetched cells.
+
+Each variant is timed forward-only and forward+backward (grad w.r.t. the
+two quadrupole strengths), steady-state with a warmup dispatch excluded.
+
+Prints one JSON line per (variant, mode, shape).
+
+Usage: python benchmarks/particle_ab.py [--batch 100] [--particles 10000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _segment(batch):
+    import lynx_tpu as lt
+    from lynx_tpu.models import ares_ea_segment
+
+    segment = ares_ea_segment().broadcast((batch,))
+    segment.AREABSCR1.is_active = False
+    return segment
+
+
+def _beam(batch, num_particles):
+    import lynx_tpu as lt
+
+    return lt.ParticleBeam.from_parameters(
+        num_particles=num_particles,
+        sigma_x=jnp.full((batch,), 1.75e-4),
+        sigma_y=jnp.full((batch,), 1.75e-4),
+        energy=jnp.full((batch,), 1.073e8),
+        key=jax.random.PRNGKey(0),
+    )
+
+
+def _time(fn, *args, iters):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def main(batch, num_particles, iters):
+    from lynx_tpu.accelerator import element as element_mod
+    from lynx_tpu.accelerator import segment as segment_mod
+
+    segment = _segment(batch)
+    beam = _beam(batch, num_particles)
+    k1 = jnp.linspace(-5.0, 5.0, batch)
+    k2 = jnp.linspace(5.0, -5.0, batch)
+
+    def run(k1, k2, beam):
+        segment.AREAMQZM1.k1 = k1
+        segment.AREAMQZM2.k1 = k2
+        return segment.track(beam)
+
+    def fwd_loss(k1, k2, beam):
+        return run(k1, k2, beam).sigma_x.sum()
+
+    def pallas_track(k1, k2, beam):
+        segment.AREAMQZM1.k1 = k1
+        segment.AREAMQZM2.k1 = k2
+        flat = segment.flattened().elements
+        assert all(el.is_skippable for el in flat)
+        out = segment_mod._fused_particle_flush(flat, beam)
+        assert out is not None
+        return out
+
+    def pallas_loss(k1, k2, beam):
+        return pallas_track(k1, k2, beam).sigma_x.sum()
+
+    variants = {
+        "matmul": (run, fwd_loss, {}),
+        "rows": (run, fwd_loss, {"rows": True}),
+        "pallas": (pallas_track, pallas_loss, {}),
+    }
+
+    for name, (track_fn, loss_fn, opts) in variants.items():
+        element_mod.PARTICLE_ROWS_PATH = bool(opts.get("rows"))
+        try:
+            fwd = jax.jit(lambda k1, k2, b: track_fn(k1, k2, b).particles)
+            t_fwd = _time(fwd, k1, k2, beam, iters=iters)
+            grad = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+            t_bwd = _time(grad, k1, k2, beam, iters=iters)
+        finally:
+            element_mod.PARTICLE_ROWS_PATH = False
+        for mode, t in (("fwd", t_fwd), ("fwd+bwd", t_bwd)):
+            print(
+                json.dumps(
+                    {
+                        "variant": name,
+                        "mode": mode,
+                        "ms_per_call": round(t * 1e3, 3),
+                        "pushes_per_s": round(batch * num_particles / t),
+                        "batch": batch,
+                        "num_particles": num_particles,
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=100)
+    parser.add_argument("--particles", type=int, default=10_000)
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+    main(args.batch, args.particles, args.iters)

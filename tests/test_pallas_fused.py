@@ -214,6 +214,62 @@ def test_fused_particle_sweep_ragged_n(interpreted_pallas):
     )
 
 
+def test_fused_particle_sweep_gradient_parity(interpreted_pallas):
+    """The particle apply kernel's custom VJP (transposed-layout apply for
+    particles + einsum for cells) gives parameter and particle gradients
+    matching the XLA matmul path at 1e-5."""
+    from lynx_tpu.ops import pallas_track
+
+    B, N = 4, 512
+    energy = jnp.full((B,), 1.073e8, dtype=jnp.float32)
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=N,
+        sigma_x=jnp.full((B,), 1.75e-4),
+        sigma_p=jnp.full((B,), 2e-3),
+        energy=energy,
+        key=jax.random.PRNGKey(7),
+    )
+
+    def make_elements(k1):
+        return [
+            lt.Drift(jnp.full((B,), 0.5)),
+            lt.Quadrupole(
+                jnp.full((B,), 0.23), k1=k1, tilt=jnp.full((B,), 0.1)
+            ),
+            lt.HorizontalCorrector(
+                jnp.full((B,), 0.1), angle=jnp.full((B,), 1e-4)
+            ),
+        ]
+
+    def loss_fused(k1, particles):
+        builders = [element_map_builder(el) for el in make_elements(k1)]
+        out = pallas_track.fused_particle_sweep(
+            [fn for _, fn in builders],
+            [params for params, _ in builders],
+            energy,
+            particles,
+        )
+        return jnp.sum(out[..., 0] ** 2) * 1e6
+
+    def loss_reference(k1, particles):
+        out = lt.Segment(make_elements(k1)).track(
+            lt.ParticleBeam(particles, energy)
+        )
+        return jnp.sum(out.particles[..., 0] ** 2) * 1e6
+
+    k1 = jnp.linspace(-5, 5, B)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(k1, beam.particles)
+    g_ref = jax.grad(loss_reference, argnums=(0, 1))(k1, beam.particles)
+    for fused_leaf, ref_leaf in zip(g_fused, g_ref):
+        assert np.all(np.isfinite(np.asarray(fused_leaf)))
+        np.testing.assert_allclose(
+            np.asarray(fused_leaf),
+            np.asarray(ref_leaf),
+            rtol=1e-5,
+            atol=1e-5 * max(1.0, float(np.max(np.abs(np.asarray(ref_leaf))))),
+        )
+
+
 def test_fused_sweep_gradient_flows(interpreted_pallas):
     """jax.grad works through the fused sweep (custom VJP: backward runs the
     XLA table reference) and matches the gradient of the pure table path."""
