@@ -43,7 +43,7 @@ SWEEP_BATCH = 100_000
 N_ITERS = 30
 
 
-def _require_backend(timeout_s: float = 180.0, retries: int = 1) -> None:
+def _require_backend(timeout_s: float = 180.0, retries: int = 3) -> None:
     """Fail fast (non-zero exit) if the accelerator backend cannot
     initialize.  Backend init blocks indefinitely in native code when the
     remote-TPU tunnel is wedged, so probe it in a killable subprocess; one
@@ -68,7 +68,7 @@ def _require_backend(timeout_s: float = 180.0, retries: int = 1) -> None:
         except subprocess.CalledProcessError as error:
             last = f"init failed: {error.stderr.decode()[-500:]}"
         if attempt < retries:
-            time.sleep(60.0)
+            time.sleep(90.0)
     sys.exit(f"bench: accelerator backend unreachable ({last})")
 
 

@@ -1,0 +1,147 @@
+"""On-device validation of the round-2 Pallas paths, in one serial run.
+
+Order matters on the remote-TPU tunnel (serial dispatch, tiny shapes before
+big ones so a Mosaic lowering failure surfaces cheaply):
+
+  1. windowed MXU histogram: compiles + matches the scatter path (tiny, then
+     the full 2448x2040 ARES screen shape),
+  2. fused moment-sweep backward kernel: gradient parity vs the XLA table
+     path at a small batch,
+  3. reworked fused particle sweep: forward parity vs the XLA matmul path.
+
+Prints one JSON line per check; exits non-zero on the first failure.
+Run the A/B benches (`particle_ab.py`) and `bench.py` only after this is
+green.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _report(name, ok, extra=None):
+    line = {"check": name, "ok": bool(ok)}
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+    if not ok:
+        raise SystemExit(f"validation failed: {name}")
+
+
+def check_histogram():
+    from lynx_tpu.ops import histogram as h
+
+    key = jax.random.PRNGKey(0)
+    # Tiny shape first: 64x256 image, spot inside a window.
+    for bins, n in (((64, 256), 4096), ((2448, 2040), 100_000)):
+        kx, ky, kw = jax.random.split(jax.random.fold_in(key, bins[0]), 3)
+        x = 0.5 + 0.01 * jax.random.normal(kx, (n,))
+        y = 0.5 + 0.01 * jax.random.normal(ky, (n,))
+        w = jax.random.uniform(kw, (n,))
+        t0 = time.perf_counter()
+        windowed = jax.jit(
+            lambda x, y, w: h.windowed_matmul_histogram_2d(
+                x, y, w, (0.0, 1.0), (0.0, 1.0), bins
+            )
+        )(x, y, w)
+        windowed.block_until_ready()
+        compile_s = time.perf_counter() - t0
+        scatter = jax.jit(
+            lambda x, y, w: h.weighted_histogram_2d(
+                x, y, w, (0.0, 1.0), (0.0, 1.0), bins
+            )
+        )(x, y, w)
+        diff = float(jnp.max(jnp.abs(windowed - scatter)))
+        total = float(jnp.sum(scatter))
+        _report(
+            f"windowed_histogram_{bins[0]}x{bins[1]}",
+            diff <= 1e-3 * max(total / (n or 1), 1e-6) + 1e-4,
+            {"max_abs_diff": diff, "compile_s": round(compile_s, 1)},
+        )
+
+
+def check_fused_backward():
+    import lynx_tpu as lt
+    from lynx_tpu.accelerator.fused import element_map_builder
+    from lynx_tpu.ops import pallas_track
+
+    B = pallas_track.TILE
+    energy = jnp.full((B,), 1.073e8, dtype=jnp.float32)
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1.75e-4),
+        sigma_p=jnp.full((B,), 2e-3),
+        energy=energy,
+    )
+
+    def loss(k1, use_pallas):
+        elements = [
+            lt.Drift(jnp.full((B,), 0.5)),
+            lt.Quadrupole(jnp.full((B,), 0.23), k1=k1, tilt=jnp.full((B,), 0.1)),
+            lt.Solenoid(jnp.full((B,), 0.4), k=jnp.full((B,), 1.1)),
+        ]
+        builders = [element_map_builder(el) for el in elements]
+        if use_pallas:
+            out_mu, out_cov = pallas_track.fused_moment_sweep(
+                [fn for _, fn in builders],
+                [params for params, _ in builders],
+                energy, beam._mu, beam._cov,
+            )
+        else:
+            n_params = tuple(len(p) for p, _ in builders)
+            flat = tuple(p for params, _ in builders for p in params)
+            out_mu, out_cov = pallas_track._table_reference_sweep(
+                [fn for _, fn in builders], n_params, flat, energy,
+                beam._mu, beam._cov,
+            )
+        return jnp.sum(out_cov[:, 0, 0]) * 1e6
+
+    k1 = jnp.linspace(-5, 5, B)
+    g_pallas = jax.jit(jax.grad(lambda k: loss(k, True)))(k1)
+    g_ref = jax.jit(jax.grad(lambda k: loss(k, False)))(k1)
+    diff = float(jnp.max(jnp.abs(g_pallas - g_ref)))
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    _report(
+        "fused_moment_backward", diff <= 1e-4 * max(scale, 1.0),
+        {"max_abs_diff": diff, "grad_scale": scale},
+    )
+
+
+def check_particle_sweep():
+    import lynx_tpu as lt
+    from lynx_tpu.accelerator import segment as segment_mod
+    from lynx_tpu.models import ares_ea_segment
+
+    B, N = 32, 10_000
+    segment = ares_ea_segment().broadcast((B,))
+    segment.AREABSCR1.is_active = False
+    segment.AREAMQZM1.k1 = jnp.linspace(-5.0, 5.0, B)
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=N,
+        sigma_x=jnp.full((B,), 1.75e-4),
+        energy=jnp.full((B,), 1.073e8),
+        key=jax.random.PRNGKey(2),
+    )
+    flat = segment.flattened().elements
+    fused = jax.jit(
+        lambda b: segment_mod._fused_particle_flush(flat, b).particles
+    )(beam)
+    default = jax.jit(lambda b: segment.track(b).particles)(beam)
+    diff = float(jnp.max(jnp.abs(fused - default)))
+    scale = float(jnp.max(jnp.abs(default)))
+    _report(
+        "fused_particle_sweep", diff <= 1e-4 * max(scale, 1e-3),
+        {"max_abs_diff": diff},
+    )
+
+
+if __name__ == "__main__":
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
+    check_histogram()
+    check_fused_backward()
+    check_particle_sweep()
+    print(json.dumps({"check": "all", "ok": True}))
