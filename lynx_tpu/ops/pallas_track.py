@@ -557,8 +557,12 @@ def fused_particle_sweep(
         d_particles = _apply_cells_pallas(
             _transpose_layout(layout), cells, d_out, padded_n, tile_n
         )
-        d_table = jnp.einsum(
-            "bin,bjn->bij", d_out, particles_t,
+        # (B, 7, N) @ (B, N, 7) -> (B, 7, 7).  Written as a plain batched
+        # matmul (the form the remote-TPU compiler is known to handle; see
+        # the production track path) rather than an einsum.
+        d_table = jnp.matmul(
+            d_out,
+            jnp.swapaxes(particles_t, -1, -2),
             precision=jax.lax.Precision.HIGHEST,
         )
         d_cells = tuple(
