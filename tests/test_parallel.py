@@ -96,6 +96,35 @@ def test_particle_axis_sharding_preserves_moments():
     )
 
 
+def test_sharded_screen_reading_matches_single_device():
+    """An active screen's histogram over a particle-axis-sharded beam equals
+    the unsharded reading (XLA reduces the per-shard partial histograms
+    across the mesh — SURVEY §2.4's cross-device beam-stats collective)."""
+    mesh = make_mesh(8, batch=1, particles=8)
+    segment = ares_ea_segment()
+    segment.AREABSCR1.is_active = True
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=8 * 1024,
+        sigma_x=jnp.array(1.75e-4),
+        sigma_y=jnp.array(1.75e-4),
+        energy=jnp.array(1.073e8),
+        key=jax.random.PRNGKey(5),
+    )
+    _, expected = jax.jit(track)(segment, beam)
+
+    with mesh:
+        sharded_beam = shard_beam(beam, mesh)
+        _, diagnostics = jax.jit(track)(segment, sharded_beam)
+
+    np.testing.assert_allclose(
+        np.asarray(diagnostics["AREABSCR1"]),
+        np.asarray(expected["AREABSCR1"]),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    assert float(np.asarray(diagnostics["AREABSCR1"]).sum()) > 0
+
+
 def test_batched_env_shards_over_batch_axis():
     """Data-parallel RL: the natively-batched env steps under a mesh with all
     (B, ...) inputs sharded on the batch axis, matching unsharded results —
