@@ -72,6 +72,43 @@ def _require_backend(timeout_s: float = 180.0, retries: int = 3) -> None:
     sys.exit(f"bench: accelerator backend unreachable ({last})")
 
 
+def _validate_windowed_histogram(timeout_s: float = 300.0) -> None:
+    """Compile the windowed MXU histogram kernel in a killable subprocess;
+    if Mosaic fails to lower it (or the compile wedges), force the proven
+    scatter path for this bench run instead of dying."""
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "from lynx_tpu.ops import histogram as h;"
+        "x = jnp.linspace(0.4, 0.6, 1024);"
+        "y = jnp.linspace(0.45, 0.55, 1024);"
+        "w = jnp.ones((1024,));"
+        "out = jax.jit(lambda x, y, w: h.windowed_matmul_histogram_2d("
+        "x, y, w, (0.0, 1.0), (0.0, 1.0), (2448, 2040)))(x, y, w);"
+        "out.block_until_ready()"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as err:
+        from lynx_tpu.ops import histogram
+
+        histogram.SCREEN_MATMUL_PATH = False
+        detail = (
+            "compile timed out"
+            if isinstance(err, subprocess.TimeoutExpired)
+            else err.stderr.decode()[-300:]
+        )
+        print(
+            f"bench: windowed histogram kernel unavailable, using scatter"
+            f" path ({detail})",
+            file=sys.stderr,
+        )
+
+
 def _time_calls(fn, args, n_iters: int) -> float:
     """Steady-state seconds per call (compile + warmup excluded)."""
     import jax
@@ -154,6 +191,7 @@ def main() -> None:
     args = parser.parse_args()
 
     _require_backend()
+    _validate_windowed_histogram()
 
     batch = 8
     serial = _flagship_throughput(batch=1)
