@@ -83,7 +83,8 @@ def _validate_windowed_histogram(timeout_s: float = 300.0) -> None:
         "y = jnp.linspace(0.45, 0.55, 1024);"
         "w = jnp.ones((1024,));"
         "out = jax.jit(lambda x, y, w: h.windowed_matmul_histogram_2d("
-        "x, y, w, (0.0, 1.0), (0.0, 1.0), (2448, 2040)))(x, y, w);"
+        "x, y, w, (0.0, 1.0), (0.0, 1.0), (2448, 2040),"
+        " window=(256, 1024)))(x, y, w);"
         "out.block_until_ready()"
     )
     try:

@@ -42,6 +42,7 @@ def screen_reading_particle(
     pixel_size: Array,
     binning: int,
     dtype=jnp.float32,
+    histogram_window=None,
 ) -> Array:
     """(..., H, W) histogram image of a particle beam."""
     w_bins = int(resolution[0] // binning)
@@ -63,6 +64,7 @@ def screen_reading_particle(
         # All-ones weights (no aperture upstream) are exact in bf16, which
         # halves the MXU work of the windowed TPU histogram path.
         bf16_exact_weights=beam.survival is None,
+        window=histogram_window,
     )  # (..., W, H)
     image = jnp.swapaxes(hist, -2, -1)  # (..., H, W)
     return jnp.flip(image, axis=-2)
@@ -118,12 +120,17 @@ class Screen(Element):
     """
 
     _data_fields = ("pixel_size", "misalignment")
-    _static_fields = ("_resolution", "_binning", "is_active")
+    _static_fields = ("_resolution", "_binning", "is_active", "histogram_window")
 
     # Defaults for non-pytree state (instances rebuilt by tree_unflatten
     # inside transformations fall back to these class attributes).
     _read_beam = None
     cached_reading = None
+    #: Per-axis ``(win_x, win_y)`` pixel window for the TPU MXU histogram
+    #: path (``None`` = the global default).  A runtime performance knob —
+    #: not a defining feature, not serialized.  Spots larger than the window
+    #: fall back to the exact scatter path.
+    histogram_window = None
 
     def __init__(
         self,
@@ -284,7 +291,11 @@ class Screen(Element):
             )
         elif isinstance(read_beam, ParticleBeam):
             image = screen_reading_particle(
-                read_beam, self._resolution, self.pixel_size, self._binning
+                read_beam,
+                self._resolution,
+                self.pixel_size,
+                self._binning,
+                histogram_window=self.histogram_window,
             )
         else:
             raise TypeError(f"Read beam is of invalid type {type(read_beam)}")

@@ -98,6 +98,7 @@ def track(
                     element.resolution,
                     element.pixel_size,
                     element.binning,
+                    histogram_window=element.histogram_window,
                 )
             elif isinstance(read_beam, ParameterBeam):
                 diagnostics[element.name] = screen_reading_parameter(

@@ -27,4 +27,11 @@ def ares_ea_segment() -> Segment:
     The transverse-tuning benchmark lattice: 3 quadrupoles (AREAMQZM1/2/3),
     2 correctors (AREAMCVM1, AREAMCHM1) and a diagnostic screen (AREABSCR1).
     """
-    return ares_lattice().subcell("AREASOLA1", "AREABSCR1")
+    segment = ares_lattice().subcell("AREASOLA1", "AREABSCR1")
+    # TPU MXU-histogram window matched to the EA operating spot (~210 x 800
+    # px at the tuning working point): same FLOP cost as a square 512
+    # window, but actually contains the tall spot (a square 512 window
+    # always lost the y-tails and fell back to the scatter path).  Exact
+    # fallback still applies for settings that blow the spot up further.
+    segment.AREABSCR1.histogram_window = (256, 1024)
+    return segment

@@ -85,10 +85,13 @@ def weighted_histogram_2d(
 
 # -- MXU one-hot-matmul histogram (TPU fast path) ---------------------------
 
-#: Window side (pixels), a multiple of the 128-lane MXU dim.  The one-hot
-#: matmul costs O(N * win_x * win_y) FLOPs, so the window must stay small:
-#: 512 px covers the full sample spread (~9-10 sigma) of a sigma~50 px ARES
-#: beam spot; larger spots take the exact scatter fallback.
+#: Default window side (pixels).  The one-hot matmul costs
+#: O(N * win_x * win_y) FLOPs, so the window must stay small; since only the
+#: *product* matters for cost, pass a per-axis ``(win_x, win_y)`` tuple
+#: matched to the beam spot's aspect ratio (e.g. the ARES flagship spot is
+#: ~210 x 800 px, which fits (256, 1024) — the same cost as 512 x 512 —
+#: but NOT a square 512 window).  Spots larger than the window take the
+#: exact scatter fallback.
 WINDOW = 512
 #: Particles per kernel grid step.
 HIST_TILE_N = 1024
@@ -175,7 +178,7 @@ def windowed_matmul_histogram_2d(
     x_range: Tuple[Array, Array],
     y_range: Tuple[Array, Array],
     bins: Tuple[int, int],
-    window: int = WINDOW,
+    window=WINDOW,
     bf16_exact_weights: bool = False,
 ) -> Array:
     """Drop-in replacement for :func:`weighted_histogram_2d` (same
@@ -186,14 +189,23 @@ def windowed_matmul_histogram_2d(
     Arbitrary leading batch dims are flattened; the branch decision is made
     once for the whole batch so ``vmap``-of-``cond`` never runs both sides.
 
+    :param window: box size in pixels — an int (square) or a per-axis
+        ``(win_x, win_y)`` tuple (rounded up to MXU tiling: 8 in x, 128
+        in y).  Match it to the spot's aspect ratio; only the product
+        drives the FLOP cost.
     :param bf16_exact_weights: promise that every weight is exactly
         representable in bfloat16 (e.g. 0/1 survival masks), which halves
         the kernel's matmul work.  Results are wrong if the promise is
         broken — callers must know their weights.
     """
     nx, ny = int(bins[0]), int(bins[1])
-    win_x = min(window, _round_up(nx, 8))
-    win_y = min(window, _round_up(ny, 128))
+    window_x, window_y = (
+        (int(window), int(window))
+        if isinstance(window, (int, float))
+        else (int(window[0]), int(window[1]))
+    )
+    win_x = min(_round_up(window_x, 8), _round_up(nx, 8))
+    win_y = min(_round_up(window_y, 128), _round_up(ny, 128))
     if win_x >= nx and win_y >= ny:
         # Window covers the whole image: windowing buys nothing.
         return weighted_histogram_2d(x, y, weights, x_range, y_range, bins)
@@ -276,6 +288,7 @@ def screen_histogram_2d(
     y_range: Tuple[Array, Array],
     bins: Tuple[int, int],
     bf16_exact_weights: bool = False,
+    window=None,
 ) -> Array:
     """The screen-reading histogram: windowed MXU kernel on TPU (exact, with
     a scatter fallback for oversize spots), plain scatter elsewhere."""
@@ -285,6 +298,7 @@ def screen_histogram_2d(
     if use_matmul:
         return windowed_matmul_histogram_2d(
             x, y, weights, x_range, y_range, bins,
+            window=WINDOW if window is None else window,
             bf16_exact_weights=bf16_exact_weights,
         )
     return weighted_histogram_2d(x, y, weights, x_range, y_range, bins)

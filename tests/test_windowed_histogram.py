@@ -121,6 +121,47 @@ def test_batched_input(interpreted_pallas):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_rectangular_window_matches_scatter(interpreted_pallas):
+    """A tall (128, 512) window with a spot that fits it vertically but
+    would blow a square 128 window: the matmul path must still be exact."""
+    key = jax.random.PRNGKey(8)
+    kx, ky = jax.random.split(key)
+    (x_lo, x_hi), (y_lo, y_hi) = RANGES
+    px = (x_hi - x_lo) / BINS[0]
+    py = (y_hi - y_lo) / BINS[1]
+    # sigma 8 px in x, 40 px in y: span ~70 x 360 px.
+    x = 300.0 * px + x_lo + 8.0 * px * jax.random.normal(kx, (4_000,))
+    y = 250.0 * py + y_lo + 40.0 * py * jax.random.normal(ky, (4_000,))
+    w = jnp.ones_like(x)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS, window=(128, 512))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert float(out.sum()) == pytest.approx(4_000.0)
+
+
+def test_ares_flagship_spot_takes_matmul_branch(interpreted_pallas, monkeypatch):
+    """The EA working-point spot (~210 x 800 px) must FIT the ARES screen's
+    (256, 1024) histogram_window — i.e. actually exercise the MXU branch,
+    not silently fall back to scatter (a square 512 window always fell
+    back on the y-tails).  Proven by poisoning the scatter fallback: the
+    reading stays correct, so the matmul branch produced it."""
+    from __graft_entry__ import _flagship
+    from lynx_tpu.functional import track
+
+    segment, beam = _flagship(num_particles=20_000)
+    assert segment.AREABSCR1.histogram_window == (256, 1024)
+    monkeypatch.setattr(hist_mod, "SCREEN_MATMUL_PATH", True)
+    _, diagnostics = track(segment, beam)
+    expected = np.asarray(diagnostics["AREABSCR1"])
+
+    poisoned = lambda *a, **k: jnp.zeros_like(weighted_histogram_2d(*a, **k))
+    monkeypatch.setattr(hist_mod, "weighted_histogram_2d", poisoned)
+    _, diagnostics = track(segment, beam)
+    image = np.asarray(diagnostics["AREABSCR1"])
+    assert image.sum() == pytest.approx(20_000.0)  # zeros ⇒ fallback was taken
+    np.testing.assert_allclose(image, expected, atol=1e-6)
+
+
 def test_small_image_shortcuts_to_scatter():
     # No Pallas needed: window >= image on both axes.
     x, y = _spot(jax.random.PRNGKey(6), 300, 5.0, (20.0, 30.0), (64, 64), RANGES)
