@@ -53,6 +53,20 @@ def main() -> None:
     t = timeit(hist, xs, ys, w)
     print(f"screen histogram 100k -> 2448x2040:   {t*1e3:8.3f} ms")
 
+    # 2b. Windowed MXU histogram on the same inputs (the TPU screen path).
+    from lynx_tpu.ops.histogram import windowed_matmul_histogram_2d
+
+    # The source-beam spot here is ~480 x 540 px, so use a window that
+    # actually contains it (the at-screen flagship spot uses (256, 1024)).
+    whist = jax.jit(
+        lambda x, y, w: windowed_matmul_histogram_2d(
+            x, y, w, (-4e-3, 4e-3), (-3e-3, 3e-3), (2448, 2040),
+            window=(512, 1024), bf16_exact_weights=True,
+        )
+    )
+    t = timeit(whist, xs, ys, w)
+    print(f"windowed MXU histogram (512x1024 win):{t*1e3:8.3f} ms")
+
     # 3. Full flagship (track + screen).
     segment.AREABSCR1.is_active = True
     t = timeit(jax.jit(lambda s, b: track(s, b)[1]["AREABSCR1"]), segment, beam)
