@@ -210,9 +210,6 @@ def windowed_matmul_histogram_2d(
         # Window covers the whole image: windowing buys nothing.
         return weighted_histogram_2d(x, y, weights, x_range, y_range, bins)
 
-    x_lo, x_hi = x_range
-    y_lo, y_hi = y_range
-
     def index(v, lo, hi, n):
         scaled = (v - lo) / (hi - lo) * n
         idx = jnp.floor(scaled).astype(jnp.int32)
@@ -220,58 +217,99 @@ def windowed_matmul_histogram_2d(
         valid = (v >= lo) & (v <= hi)
         return idx, valid
 
-    ix, vx = index(x, x_lo, x_hi, nx)
-    iy, vy = index(y, y_lo, y_hi, ny)
-    live = (vx & vy) & (jnp.broadcast_to(weights, ix.shape) != 0)
+    def impl(x, y, weights, x_lo, x_hi, y_lo, y_hi):
+        ix, vx = index(x, x_lo, x_hi, nx)
+        iy, vy = index(y, y_lo, y_hi, ny)
+        live = (vx & vy) & (jnp.broadcast_to(weights, ix.shape) != 0)
 
-    def origin(idx, valid_mask, n, win):
-        lo = jnp.min(jnp.where(valid_mask, idx, n), axis=-1)
-        return jnp.clip(lo, 0, max(n - win, 0))
+        def origin(idx, valid_mask, n, win):
+            lo = jnp.min(jnp.where(valid_mask, idx, n), axis=-1)
+            return jnp.clip(lo, 0, max(n - win, 0))
 
-    ox = origin(ix, live, nx, win_x)
-    oy = origin(iy, live, ny, win_y)
-    lx = ix - ox[..., None]
-    ly = iy - oy[..., None]
-    in_window = (lx >= 0) & (lx < win_x) & (ly >= 0) & (ly < win_y)
-    fits = ~jnp.any(live & ~in_window)
+        ox = origin(ix, live, nx, win_x)
+        oy = origin(iy, live, ny, win_y)
+        lx = ix - ox[..., None]
+        ly = iy - oy[..., None]
+        in_window = (lx >= 0) & (lx < win_x) & (ly >= 0) & (ly < win_y)
+        fits = ~jnp.any(live & ~in_window)
 
-    masked = live & in_window
-    lx = jnp.where(masked, lx, -1)
-    ly = jnp.where(masked, ly, -1)
+        masked = live & in_window
+        lx = jnp.where(masked, lx, -1)
+        ly = jnp.where(masked, ly, -1)
 
-    w_b = jnp.broadcast_to(weights, ix.shape)
-    batch_shape = ix.shape[:-1]
+        w_b = jnp.broadcast_to(weights, ix.shape)
+        batch_shape = ix.shape[:-1]
 
-    def matmul_branch(args):
-        lx, ly, w_b, ox, oy = args
+        def matmul_branch(args):
+            lx, ly, w_b, ox, oy = args
 
-        def one(lx1, ly1, w1, ox1, oy1):
-            win = _window_matmul_hist(
-                lx1, ly1, w1, win_x, win_y, w_b.dtype, bf16_exact_weights
+            def one(lx1, ly1, w1, ox1, oy1):
+                win = _window_matmul_hist(
+                    lx1, ly1, w1, win_x, win_y, w_b.dtype, bf16_exact_weights
+                )
+                # MXU-alignment rounding can push the window past the image
+                # edge on an axis it fully covers (origin 0 there) — crop
+                # before placing.  In-image indices never land in the
+                # cropped margin.
+                win = win[: min(win_x, nx), : min(win_y, ny)]
+                full = jnp.zeros((nx, ny), dtype=w_b.dtype)
+                return jax.lax.dynamic_update_slice(full, win, (ox1, oy1))
+
+            if batch_shape:
+                n = lx.shape[-1]
+                out = jax.vmap(one)(
+                    lx.reshape(-1, n),
+                    ly.reshape(-1, n),
+                    w_b.reshape(-1, n),
+                    ox.reshape(-1),
+                    oy.reshape(-1),
+                )
+                return out.reshape(*batch_shape, nx, ny)
+            return one(lx, ly, w_b, ox, oy)
+
+        def scatter_branch(args):
+            return weighted_histogram_2d(
+                x, y, weights, (x_lo, x_hi), (y_lo, y_hi), (nx, ny)
             )
-            # MXU-alignment rounding can push the window past the image edge
-            # on an axis it fully covers (origin 0 there) — crop before
-            # placing.  In-image indices never land in the cropped margin.
-            win = win[: min(win_x, nx), : min(win_y, ny)]
-            full = jnp.zeros((nx, ny), dtype=w_b.dtype)
-            return jax.lax.dynamic_update_slice(full, win, (ox1, oy1))
 
-        if batch_shape:
-            n = lx.shape[-1]
-            out = jax.vmap(one)(
-                lx.reshape(-1, n),
-                ly.reshape(-1, n),
-                w_b.reshape(-1, n),
-                ox.reshape(-1),
-                oy.reshape(-1),
-            )
-            return out.reshape(*batch_shape, nx, ny)
-        return one(lx, ly, w_b, ox, oy)
+        return jax.lax.cond(
+            fits, matmul_branch, scatter_branch, (lx, ly, w_b, ox, oy)
+        )
 
-    def scatter_branch(args):
-        return weighted_histogram_2d(x, y, weights, x_range, y_range, bins)
+    # The histogram is linear in the weights (positions only move mass
+    # between bins, a measure-zero/piecewise-constant effect), so the VJP
+    # w.r.t. weights is a gather of the cotangent image at each particle's
+    # bin — defined explicitly because the Pallas kernel has no autodiff
+    # rule.  Keeps screen readings differentiable (image-based losses) on
+    # the TPU path exactly like the scatter path.
+    @jax.custom_vjp
+    def hist(x, y, weights, x_lo, x_hi, y_lo, y_hi):
+        return impl(x, y, weights, x_lo, x_hi, y_lo, y_hi)
 
-    return jax.lax.cond(fits, matmul_branch, scatter_branch, (lx, ly, w_b, ox, oy))
+    def fwd(x, y, weights, x_lo, x_hi, y_lo, y_hi):
+        args = (x, y, weights, x_lo, x_hi, y_lo, y_hi)
+        return impl(*args), args
+
+    def bwd(residuals, d_out):
+        x, y, weights, x_lo, x_hi, y_lo, y_hi = residuals
+        ix, vx = index(x, x_lo, x_hi, nx)
+        iy, vy = index(y, y_lo, y_hi, ny)
+        valid = vx & vy
+        flat = jnp.where(valid, ix * ny + iy, 0)
+        d_flat = d_out.reshape(*d_out.shape[:-2], nx * ny)
+        gathered = jnp.take_along_axis(
+            jnp.broadcast_to(d_flat, (*ix.shape[:-1], nx * ny)), flat, axis=-1
+        )
+        d_w = jnp.where(valid, gathered, 0.0).astype(d_out.dtype)
+        d_w = _unbroadcast(d_w, jnp.shape(weights))
+        zeros = [jnp.zeros_like(jnp.asarray(r)) for r in residuals[:2]]
+        zero_scalars = [
+            jnp.zeros_like(jnp.asarray(r)) for r in residuals[3:]
+        ]
+        return (*zeros, d_w, *zero_scalars)
+
+    hist.defvjp(fwd, bwd)
+    return hist(x, y, weights, *x_range, *y_range)
 
 
 #: Histogram path for :class:`~lynx_tpu.accelerator.screen.Screen` readings:
@@ -306,3 +344,18 @@ def screen_histogram_2d(
 
 def _round_up(value: int, multiple: int) -> int:
     return ((value + multiple - 1) // multiple) * multiple
+
+
+def _unbroadcast(value: Array, shape) -> Array:
+    """Reduce ``value`` (a cotangent of a broadcast) back to ``shape``."""
+    if jnp.shape(value) == tuple(shape):
+        return value
+    extra = value.ndim - len(shape)
+    if extra:
+        value = jnp.sum(value, axis=tuple(range(extra)))
+    axes = tuple(
+        i for i, n in enumerate(shape) if n == 1 and value.shape[i] != 1
+    )
+    if axes:
+        value = jnp.sum(value, axis=axes, keepdims=True)
+    return value.reshape(shape)

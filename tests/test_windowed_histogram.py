@@ -162,6 +162,28 @@ def test_ares_flagship_spot_takes_matmul_branch(interpreted_pallas, monkeypatch)
     np.testing.assert_allclose(image, expected, atol=1e-6)
 
 
+def test_weight_gradients_match_scatter(interpreted_pallas):
+    """jax.grad w.r.t. weights flows through the windowed path (custom VJP:
+    gather of the cotangent image) and matches the scatter path's autodiff
+    gradient — screen images stay differentiable on TPU."""
+    key = jax.random.PRNGKey(9)
+    x, y = _spot(key, 2_000, 12.0, (306.0, 255.0), BINS, RANGES)
+    w = jax.random.uniform(jax.random.fold_in(key, 1), (2_000,), minval=0.2)
+    target_row = 250
+
+    def loss(w, fn):
+        img = fn(x, y, w, *RANGES, BINS)
+        return jnp.sum(img[:, target_row] ** 2)
+
+    g_windowed = jax.grad(lambda w: loss(w, windowed_matmul_histogram_2d))(w)
+    g_scatter = jax.grad(lambda w: loss(w, weighted_histogram_2d))(w)
+    assert np.all(np.isfinite(np.asarray(g_windowed)))
+    assert float(jnp.abs(g_scatter).max()) > 0  # non-trivial gradient
+    np.testing.assert_allclose(
+        np.asarray(g_windowed), np.asarray(g_scatter), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_small_image_shortcuts_to_scatter():
     # No Pallas needed: window >= image on both axes.
     x, y = _spot(jax.random.PRNGKey(6), 300, 5.0, (20.0, 30.0), (64, 64), RANGES)
