@@ -46,3 +46,24 @@ def test_gate_catches_sweep_regression_only():
 
 def test_gate_ignores_missing_keys():
     assert bench.check_regression({"value": 1.0}, {}) == []
+
+
+def test_backend_probe_falls_back_to_cpu(monkeypatch):
+    """When the accelerator probe times out on every retry, the bench must
+    label the run 'cpu_fallback' instead of recording nothing."""
+    import subprocess
+
+    def timeout_run(*args, **kwargs):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(bench.subprocess, "run", timeout_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._require_backend(timeout_s=1, retries=2) == "cpu_fallback"
+
+
+def test_backend_probe_reports_backend(monkeypatch):
+    class Probe:
+        stdout = b"tpu\n"
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Probe())
+    assert bench._require_backend(timeout_s=1, retries=0) == "tpu"
