@@ -37,6 +37,12 @@ import sys
 import time
 from pathlib import Path
 
+# Make `__graft_entry__` (and the package) importable regardless of the
+# caller's working directory.
+_REPO_DIR = str(Path(__file__).resolve().parent)
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
 BASELINE_TRACKS_PER_S = 10.0  # reference: < 0.1 s / track on CPU
 BASELINE_FILE = Path(__file__).parent / ".bench_baseline.json"
 REGRESSION_TOLERANCE = 0.20

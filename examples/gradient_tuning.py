@@ -40,20 +40,23 @@ def main(steps: int = 300) -> None:
         observed = env.beam_parameters(jnp.tanh(normalized_magnets), params)
         return jnp.sum(jnp.abs(observed - params.target)) * 1e3  # mm
 
-    optimizer = optax.adam(5e-2)
-    magnets = jnp.zeros(env.num_actions)
-    opt_state = optimizer.init(magnets)
+    # The whole loop runs on device: `tune` compiles `steps` value-and-grad +
+    # Adam updates into one lax.scan, so a full tuning run is a handful of
+    # dispatches (chunked only for progress printing) instead of one per step
+    # — the difference between ~1 ms and ~`steps` ms of dispatch floor on
+    # remotely-attached chips.
+    from lynx_tpu.tuning import tune
 
-    @jax.jit
-    def train_step(magnets, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(magnets)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        return optax.apply_updates(magnets, updates), opt_state, loss
-
-    for i in range(steps):
-        magnets, opt_state, loss = train_step(magnets, opt_state)
-        if i % 25 == 0 or i == steps - 1:
-            print(f"step {i:4d}  |beam - target| = {float(loss):.6f} mm")
+    magnets, losses = tune(
+        loss_fn,
+        jnp.zeros(env.num_actions),
+        optimizer=optax.adam(5e-2),
+        steps=steps,
+        chunk=25,
+        callback=lambda i, loss: print(
+            f"step {i:4d}  |beam - target| = {loss:.6f} mm"
+        ),
+    )
 
     settings = jnp.tanh(magnets) * MAGNET_LIMITS
     print("tuned k1 [1/m^2]:", settings[:3])

@@ -1,0 +1,135 @@
+"""On-device scanned tuning loop (``lynx_tpu.tuning``).
+
+The scanned tuner compiles K optimizer steps into one ``lax.scan`` dispatch;
+it must be bit-compatible with the reference-style Python loop of jitted
+single steps (same optimizer, same updates), not merely "also converge".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import lynx_tpu as lt
+from lynx_tpu.functional import track
+from lynx_tpu.tuning import make_tuner, tune
+
+
+def quad_lattice():
+    return lt.Segment(
+        [
+            lt.Drift(length=jnp.array([0.5])),
+            lt.Quadrupole(
+                length=jnp.array([0.2]), k1=jnp.array([3.0]), name="Q1"
+            ),
+            lt.Drift(length=jnp.array([0.7])),
+        ]
+    )
+
+
+def small_beam():
+    return lt.ParticleBeam.from_parameters(
+        num_particles=1_000,
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_y=jnp.array([1.75e-4]),
+        sigma_xp=jnp.array([2e-5]),
+        sigma_yp=jnp.array([2e-5]),
+        energy=jnp.array([1e8]),
+        key=jax.random.PRNGKey(3),
+    )
+
+
+def test_scanned_tuner_matches_python_loop():
+    beam = small_beam()
+    segment = quad_lattice()
+
+    def loss_fn(k1, beam):
+        seg = quad_lattice()
+        seg.Q1.k1 = k1
+        outgoing, _ = track(seg, beam)
+        return jnp.sum((outgoing.sigma_x - 1e-4) ** 2) * 1e8
+
+    optimizer = optax.adam(1e-1)
+    k1 = segment.Q1.k1
+    opt_state = optimizer.init(k1)
+
+    tuner = make_tuner(optimizer, loss_fn)
+    k1_scan, _, losses = tuner(k1, opt_state, 20, beam)
+
+    # Reference: the same 20 steps dispatched one by one.
+    @jax.jit
+    def step(k1, opt_state, beam):
+        loss, grads = jax.value_and_grad(loss_fn)(k1, beam)
+        updates, opt_state = optimizer.update(grads, opt_state, k1)
+        return optax.apply_updates(k1, updates), opt_state, loss
+
+    k1_loop, opt_state_loop = segment.Q1.k1, optimizer.init(segment.Q1.k1)
+    loop_losses = []
+    for _ in range(20):
+        k1_loop, opt_state_loop, loss = step(k1_loop, opt_state_loop, beam)
+        loop_losses.append(float(loss))
+
+    np.testing.assert_allclose(k1_scan, k1_loop, rtol=1e-6)
+    np.testing.assert_allclose(losses, jnp.array(loop_losses), rtol=1e-5)
+
+
+def test_tuner_reduces_loss_on_segment_pytree():
+    """Whole-segment params: every array leaf is trainable through the scan."""
+    beam = small_beam()
+    segment = quad_lattice()
+    target = jnp.array([2e-4])
+
+    def loss_fn(segment, beam):
+        outgoing, _ = track(segment, beam)
+        return jnp.sum((outgoing.sigma_x - target) ** 2) * 1e8
+
+    optimizer = optax.adam(5e-2)
+    tuner = make_tuner(optimizer, loss_fn)
+    tuned, _, losses = tuner(segment, optimizer.init(segment), 30, beam)
+
+    assert float(losses[-1]) < 0.2 * float(losses[0])
+    assert isinstance(tuned, lt.Segment)
+    assert tuned.Q1.k1.shape == segment.Q1.k1.shape
+
+
+def test_tune_chunked_callback_matches_single_scan():
+    beam = small_beam()
+
+    def loss_fn(k1, beam):
+        seg = quad_lattice()
+        seg.Q1.k1 = k1
+        outgoing, _ = track(seg, beam)
+        return jnp.sum((outgoing.sigma_x - 1e-4) ** 2) * 1e8
+
+    k1 = jnp.array([3.0])
+    optimizer = optax.adam(1e-1)
+    whole, losses_whole = tune(
+        loss_fn, k1, beam, optimizer=optimizer, steps=24
+    )
+    seen = []
+    chunked, losses_chunked = tune(
+        loss_fn,
+        k1,
+        beam,
+        optimizer=optimizer,
+        steps=24,
+        chunk=8,
+        callback=lambda i, loss: seen.append((i, loss)),
+    )
+    np.testing.assert_allclose(whole, chunked, rtol=1e-6)
+    np.testing.assert_allclose(losses_whole, losses_chunked, rtol=1e-5)
+    assert [i for i, _ in seen] == [7, 15, 23]
+    assert losses_chunked.shape == (24,)
+
+
+@pytest.mark.parametrize("steps,chunk", [(5, 2), (6, 6), (4, None)])
+def test_tune_step_counts(steps, chunk):
+    def loss_fn(p):
+        return jnp.sum(p**2)
+
+    p, losses = tune(
+        loss_fn, jnp.array([1.0, -2.0]), steps=steps, chunk=chunk
+    )
+    assert losses.shape == (steps,)
+    assert float(losses[-1]) < float(losses[0])
