@@ -123,6 +123,55 @@ def test_tune_chunked_callback_matches_single_scan():
     assert losses_chunked.shape == (24,)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_scanned_tuner_composes_with_sharding():
+    """The scan loop keeps mesh shardings: tuning with a (batch x particles)-
+    sharded beam matches the unsharded scan."""
+    from lynx_tpu.parallel import make_mesh, shard_beam
+
+    mesh = make_mesh(8)
+    batch = 2 * mesh.shape["batch"]
+    num_particles = 64 * mesh.shape["particles"]
+
+    def lattice(k1):
+        return lt.Segment(
+            [
+                lt.Drift(length=jnp.full((batch,), 0.5)),
+                lt.Quadrupole(length=jnp.full((batch,), 0.2), k1=k1, name="Q1"),
+                lt.Drift(length=jnp.full((batch,), 0.7)),
+            ]
+        )
+
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=num_particles,
+        sigma_x=jnp.full((batch,), 1.75e-4),
+        sigma_y=jnp.full((batch,), 1.75e-4),
+        sigma_xp=jnp.full((batch,), 2e-5),
+        sigma_yp=jnp.full((batch,), 2e-5),
+        energy=jnp.full((batch,), 1e8),
+        key=jax.random.PRNGKey(7),
+    )
+
+    def loss_fn(k1, beam):
+        outgoing, _ = track(lattice(k1), beam)
+        return jnp.sum((outgoing.sigma_x - 1e-4) ** 2) * 1e8
+
+    optimizer = optax.adam(1e-1)
+    tuner = make_tuner(optimizer, loss_fn)
+    k1_0 = jnp.linspace(2.0, 4.0, batch)
+
+    ref, _, ref_losses = tuner(k1_0, optimizer.init(k1_0), 10, beam)
+
+    with mesh:
+        sharded = shard_beam(beam, mesh)
+        out, _, losses = tuner(k1_0, optimizer.init(k1_0), 10, sharded)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(ref_losses), rtol=1e-5
+    )
+
+
 @pytest.mark.parametrize("steps,chunk", [(5, 2), (6, 6), (4, None)])
 def test_tune_step_counts(steps, chunk):
     def loss_fn(p):
