@@ -227,12 +227,18 @@ def main() -> None:
     batched = _flagship_throughput(batch=batch)
     sweep = _sweep_env_steps_per_s()
 
+    # Headline = the better dispatch mode.  On accelerators batched wins
+    # (it amortizes the per-call dispatch floor); on the CPU fallback the
+    # cache-resident serial run can win instead.
+    headline = max(batched, serial)
     result = {
         "metric": "ares_ea_100k_track_and_screen_read_throughput",
-        "value": round(batched, 3),
+        "value": round(headline, 3),
         "unit": "tracks/s",
-        "vs_baseline": round(batched / BASELINE_TRACKS_PER_S, 3),
+        "vs_baseline": round(headline / BASELINE_TRACKS_PER_S, 3),
+        "headline_mode": "batched" if batched >= serial else "serial",
         "serial_tracks_per_s": round(serial, 3),
+        "batched_tracks_per_s": round(batched, 3),
         "batch_size": batch,
         "sweep_env_steps_per_s": round(sweep, 1),
         "backend": backend,
