@@ -238,3 +238,37 @@ def test_transfer_maps_merged_preserves_physics(seed):
             atol=1e-10,
             err_msg=f"seed {seed}: {stat}",
         )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_gradients_finite_at_degenerate_parameters(seed):
+    """Gradients must stay finite when strengths sit EXACTLY on the branch
+    guards (k1=0, angle=0, k=0, voltage=0, zero-crossing phase): the
+    branch-free kernels use additive perturbation guards precisely so that
+    `where`-style replacement does not null/NaN the gradient at the guard
+    point (reference TODOs in ``drift.py:53``; our ``ops/rmatrix.py``)."""
+    from lynx_tpu.functional import track
+
+    segment = _random_segment(seed, n_elements=10)
+    # Zero every strength-like parameter: each element becomes drift-like,
+    # the exact regime the guards protect.
+    for element in segment.elements:
+        for attr in ("k1", "angle", "k", "voltage"):
+            if hasattr(element, attr):
+                setattr(element, attr, jnp.zeros_like(getattr(element, attr)))
+        if isinstance(element, lt.Cavity):
+            element.phase = jnp.full_like(element.phase, 90.0)  # zero crossing
+
+    beam = lt.ParameterBeam.from_parameters(**BEAM_PARAMS)
+
+    def loss(segment):
+        out = track(segment, beam)[0]
+        return jnp.sum(
+            out.sigma_x + out.sigma_y + jnp.abs(out.mu_x) + jnp.abs(out.mu_y)
+        )
+
+    grads = jax.grad(loss)(segment)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf))), (
+            f"seed {seed}: non-finite gradient leaf"
+        )
