@@ -93,3 +93,38 @@ def test_nested_segment_roundtrip(tmp_path):
     reloaded = lt.Segment.from_lattice_json(path)
     assert isinstance(reloaded.elements[1], lt.Segment)
     assert reloaded.elements[1].elements[0].name == "din"
+
+
+def test_random_lattice_roundtrip_fuzz(tmp_path):
+    """Randomized lattices survive the JSON roundtrip: identical defining
+    features and identical tracking for every seed."""
+    from tests.test_random_lattices import BEAM_PARAMS, _random_segment
+
+    for seed in range(6):
+        segment = _random_segment(seed, n_elements=8)
+        path = str(tmp_path / f"fuzz_{seed}.json")
+        segment.to_lattice_json(path)
+        reloaded = lt.Segment.from_lattice_json(path)
+
+        for orig, back in zip(segment.elements, reloaded.elements):
+            assert type(orig) is type(back), (seed, orig.name)
+            assert orig.name == back.name
+            for feature in orig.defining_features:
+                a, b = getattr(orig, feature), getattr(back, feature)
+                np.testing.assert_allclose(
+                    np.asarray(a, dtype=np.float64),
+                    np.asarray(b, dtype=np.float64),
+                    rtol=1e-6,
+                    err_msg=f"seed {seed}: {orig.name}.{feature}",
+                )
+
+        beam = lt.ParameterBeam.from_parameters(**BEAM_PARAMS)
+        out_a = segment.track(beam)
+        out_b = reloaded.track(beam)
+        for stat in ("mu_x", "sigma_x", "mu_y", "sigma_y", "sigma_p"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_a, stat)),
+                np.asarray(getattr(out_b, stat)),
+                rtol=1e-6,
+                err_msg=f"seed {seed}: {stat}",
+            )
