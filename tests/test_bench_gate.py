@@ -67,3 +67,30 @@ def test_backend_probe_reports_backend(monkeypatch):
 
     monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Probe())
     assert bench._require_backend(timeout_s=1, retries=0) == "tpu"
+
+
+def test_bench_main_end_to_end_smoke(monkeypatch, capsys, tmp_path):
+    """The full bench flow (probe -> flagship serial+batched -> sweep ->
+    JSON line) must run end to end; shrunk sizes, forced-CPU backend.
+    Protects the round-end driver run from import/flow regressions."""
+    import json
+
+    monkeypatch.setattr(bench, "FLAGSHIP_PARTICLES", 500)
+    monkeypatch.setattr(bench, "SWEEP_BATCH", 64)
+    monkeypatch.setattr(bench, "N_ITERS", 2)
+    monkeypatch.setattr(bench, "BASELINE_FILE", tmp_path / "baseline.json")
+    monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: "cpu")
+    monkeypatch.setattr(bench, "_validate_windowed_histogram", lambda *a, **k: None)
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--update-baseline"])
+
+    bench.main()
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["unit"] == "tracks/s"
+    assert result["value"] > 0
+    assert result["serial_tracks_per_s"] > 0
+    assert result["batched_tracks_per_s"] > 0
+    assert result["sweep_env_steps_per_s"] > 0
+    assert result["headline_mode"] in ("batched", "serial")
+    assert (tmp_path / "baseline.json").exists()
