@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["make_tuner", "tune"]
+__all__ = ["make_tuner", "tune", "tune_until"]
 
 
 def make_tuner(optimizer, loss_fn: Callable[..., jax.Array]):
@@ -92,3 +92,57 @@ def tune(
         if callback is not None:
             callback(done - 1, float(losses[-1]))
     return params, jnp.concatenate(histories)
+
+
+def tune_until(
+    loss_fn: Callable[..., jax.Array],
+    params: Any,
+    *args,
+    optimizer=None,
+    tol: float = 1e-8,
+    max_steps: int = 1000,
+):
+    """Minimize until converged, entirely on device: one dispatch runs a
+    ``lax.while_loop`` of optimizer steps that stops as soon as the loss
+    improves by less than ``tol`` (relative to ``max(1, |loss|)``) between
+    consecutive steps — no per-step host round trips for the convergence
+    check.
+
+    :return: ``(params, losses, num_steps)`` — ``losses`` is a fixed
+        ``(max_steps,)`` buffer, NaN-padded past ``num_steps``.
+    """
+    if optimizer is None:
+        optimizer = optax.adam(5e-2)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def run(params, opt_state, *args):
+        def step_fn(carry):
+            params, opt_state, history, i, _prev = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, *args)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            history = jax.lax.dynamic_update_index_in_dim(
+                history, loss.astype(history.dtype), i, axis=0
+            )
+            return params, opt_state, history, i + 1, loss
+
+        def cond_fn(carry):
+            _, _, history, i, last = carry
+            # ``last`` is the most recent loss (history[i-1]); compare with
+            # the one before it.
+            previous = history[jnp.maximum(i - 2, 0)]
+            improving = jnp.abs(previous - last) > tol * jnp.maximum(
+                1.0, jnp.abs(last)
+            )
+            return (i < max_steps) & ((i < 2) | improving)
+
+        history0 = jnp.full((max_steps,), jnp.nan, dtype=jnp.float32)
+        params, opt_state, history, i, _ = jax.lax.while_loop(
+            cond_fn,
+            step_fn,
+            (params, opt_state, history0, jnp.asarray(0), jnp.asarray(jnp.inf)),
+        )
+        return params, history, i
+
+    return run(params, opt_state, *args)

@@ -182,3 +182,45 @@ def test_tune_step_counts(steps, chunk):
     )
     assert losses.shape == (steps,)
     assert float(losses[-1]) < float(losses[0])
+
+
+def test_tune_until_stops_early_on_convergence():
+    from lynx_tpu.tuning import tune_until
+
+    def loss_fn(p):
+        return jnp.sum(p**2)
+
+    p, losses, n = tune_until(
+        loss_fn,
+        jnp.array([1.0, -2.0]),
+        optimizer=optax.sgd(0.4),
+        tol=1e-6,
+        max_steps=500,
+    )
+    n = int(n)
+    assert 2 <= n < 500, n  # converged well before the cap
+    assert np.all(np.isfinite(np.asarray(losses[:n])))
+    assert np.all(np.isnan(np.asarray(losses[n:])))  # NaN-padded tail
+    assert float(losses[n - 1]) < 1e-4
+    # Relative improvement at the stop point is actually below tol.
+    assert abs(float(losses[n - 2]) - float(losses[n - 1])) <= 1e-6 * max(
+        1.0, abs(float(losses[n - 1]))
+    )
+
+
+def test_tune_until_respects_max_steps():
+    from lynx_tpu.tuning import tune_until
+
+    def loss_fn(p):
+        return jnp.sum(p**2)
+
+    # Tiny LR: never converges within 7 steps -> runs to the cap.
+    p, losses, n = tune_until(
+        loss_fn,
+        jnp.array([5.0]),
+        optimizer=optax.sgd(1e-4),
+        tol=1e-12,
+        max_steps=7,
+    )
+    assert int(n) == 7
+    assert np.all(np.isfinite(np.asarray(losses)))
