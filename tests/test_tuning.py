@@ -224,3 +224,65 @@ def test_tune_until_respects_max_steps():
     )
     assert int(n) == 7
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_quad_scan_emittance_reconstruction():
+    """The quad-scan workflow (examples/emittance_measurement.py): fitting
+    the incoming beam's transverse moments through differentiable tracking
+    recovers the true emittance."""
+    import pathlib
+    import runpy
+
+    mod = runpy.run_path(
+        str(
+            pathlib.Path(__file__).parent.parent
+            / "examples"
+            / "emittance_measurement.py"
+        )
+    )
+
+    true_beam = lt.ParameterBeam.from_twiss(
+        beta_x=jnp.array([8.0]),
+        alpha_x=jnp.array([-1.5]),
+        emittance_x=jnp.array([2.2e-9]),
+        energy=jnp.array([1.5e8]),
+    )
+    k1_scan = jnp.linspace(-14.0, 14.0, 9)
+    measured = jax.jit(
+        jax.vmap(mod["simulated_sigma_x"], in_axes=(0, None))
+    )(k1_scan, true_beam)
+
+    def loss_fn(params, k1_scan, measured):
+        predicted = jax.vmap(mod["simulated_sigma_x"], in_axes=(0, None))(
+            k1_scan, _beam(params)
+        )
+        return jnp.mean((predicted / measured - 1.0) ** 2)
+
+    def _beam(params):
+        s11 = jnp.exp(params[0]) * 1e-8
+        s22 = jnp.exp(params[1]) * 1e-10
+        s12 = jnp.tanh(params[2]) * jnp.sqrt(s11 * s22)
+        mu = jnp.zeros((1, 7)).at[..., 6].set(1.0)
+        cov = jnp.zeros((1, 7, 7))
+        cov = cov.at[..., 0, 0].set(s11)
+        cov = cov.at[..., 0, 1].set(s12)
+        cov = cov.at[..., 1, 0].set(s12)
+        cov = cov.at[..., 1, 1].set(s22)
+        return lt.ParameterBeam(
+            mu, cov, energy=jnp.array([1.5e8]), total_charge=jnp.array([0.0])
+        )
+
+    params, losses = tune(
+        loss_fn,
+        jnp.array([jnp.log(2.0), jnp.log(2.0), 0.0]),
+        k1_scan,
+        measured,
+        optimizer=optax.adam(5e-2),
+        steps=400,
+    )
+    fitted = _beam(params)
+    s11 = float(fitted._cov[0, 0, 0])
+    s12 = float(fitted._cov[0, 0, 1])
+    s22 = float(fitted._cov[0, 1, 1])
+    emittance = (s11 * s22 - s12**2) ** 0.5
+    assert abs(emittance / 2.2e-9 - 1) < 0.01, emittance
