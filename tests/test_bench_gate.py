@@ -79,7 +79,9 @@ def test_bench_main_end_to_end_smoke(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "SWEEP_BATCH", 64)
     monkeypatch.setattr(bench, "N_ITERS", 2)
     monkeypatch.setattr(bench, "BASELINE_FILE", tmp_path / "baseline.json")
-    monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: "cpu")
+    # Dead-accelerator scenario: probe says fallback, sizes stay tiny.
+    monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: "cpu_fallback")
+    monkeypatch.setattr(bench, "_cpu_fallback_sizes", lambda: None)
     monkeypatch.setattr(bench, "_validate_windowed_histogram", lambda *a, **k: None)
     monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--update-baseline"])
 
@@ -93,4 +95,28 @@ def test_bench_main_end_to_end_smoke(monkeypatch, capsys, tmp_path):
     assert result["batched_tracks_per_s"] > 0
     assert result["sweep_env_steps_per_s"] > 0
     assert result["headline_mode"] in ("batched", "serial")
+    assert result["backend"] == "cpu_fallback"
     assert (tmp_path / "baseline.json").exists()
+
+
+def test_measurement_subprocess_timeout_falls_back(monkeypatch):
+    """A tunnel wedge MID-measurement (subprocess timeout) must return None
+    so main() falls back to the CPU path instead of hanging."""
+    import subprocess
+
+    def timeout_run(*args, **kwargs):
+        raise subprocess.TimeoutExpired(cmd="measure", timeout=1)
+
+    monkeypatch.setattr(bench.subprocess, "run", timeout_run)
+    assert bench._measure_in_subprocess() is None
+
+
+def test_measurement_subprocess_parses_last_json_line(monkeypatch):
+    class Proc:
+        returncode = 0
+        stdout = "warning noise\n{\"value\": 42.0, \"backend\": \"tpu\"}\n"
+        stderr = ""
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Proc())
+    result = bench._measure_in_subprocess()
+    assert result == {"value": 42.0, "backend": "tpu"}
