@@ -34,7 +34,10 @@ STEPS = [
     ("tpu_validation", [sys.executable, "benchmarks/tpu_validation.py"], 1800),
     ("particle_ab", [sys.executable, "benchmarks/particle_ab.py"], 1800),
     ("breakdown", [sys.executable, "benchmarks/breakdown.py"], 1800),
-    ("bench", [sys.executable, "bench.py", "--update-baseline"], 2400),
+    # Budget > bench's internal probe (<=180 s) + measurement subprocess
+    # timeout (2100 s) + CPU-fallback run, so bench always self-terminates
+    # before the runbook's kill.
+    ("bench", [sys.executable, "bench.py", "--update-baseline"], 3000),
 ]
 
 
