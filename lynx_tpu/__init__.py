@@ -30,4 +30,4 @@ from lynx_tpu.particles import Beam, ParameterBeam, ParticleBeam  # noqa: F401
 from lynx_tpu.random import seed  # noqa: F401
 from lynx_tpu.tuning import make_tuner, tune  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
