@@ -78,6 +78,22 @@ def main(steps: int = 30) -> None:
             if i % 5 == 0 or i == steps - 1:
                 print(f"step {i:3d}  loss {float(loss):.3e}")
 
+        # Same optimization, one dispatch: the scanned tuner composes with
+        # the mesh shardings (inputs keep their NamedShardings through the
+        # lax.scan), so a whole training run is a single host round trip.
+        from lynx_tpu.tuning import make_tuner
+
+        tuner = make_tuner(optimizer, loss_fn)
+        segment2 = ares_ea_segment().broadcast((batch,))
+        segment2.AREABSCR1.is_active = False
+        segment2.AREAMQZM1.k1 = jnp.linspace(-1.0, 1.0, batch)
+        segment2 = shard_segment(segment2, mesh)
+        _, _, losses = tuner(segment2, optimizer.init(segment2), steps, beam)
+        print(
+            f"scanned tuner ({steps} steps, one dispatch): "
+            f"loss {float(losses[0]):.3e} -> {float(losses[-1]):.3e}"
+        )
+
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
