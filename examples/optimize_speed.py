@@ -22,24 +22,9 @@ import lynx_tpu as lt
 
 
 def build_lattice(num_cells: int = 150) -> lt.Segment:
-    elements = []
-    for cell in range(num_cells):
-        elements += [
-            lt.Quadrupole(jnp.array([0.3]), k1=jnp.array([2.1]), name=f"q{cell}a"),
-            lt.Drift(jnp.array([0.4]), name=f"d{cell}a"),
-            lt.Quadrupole(jnp.array([0.3]), k1=jnp.array([-2.1]), name=f"q{cell}b"),
-            lt.Drift(jnp.array([0.4]), name=f"d{cell}b"),
-            lt.Marker(name=f"m{cell}"),
-            lt.Quadrupole(jnp.array([0.3]), k1=jnp.array([0.0]), name=f"q{cell}c"),
-            lt.Drift(jnp.array([0.4]), name=f"d{cell}c"),
-        ]
-    elements += [
-        lt.HorizontalCorrector(jnp.array([0.1]), angle=jnp.array([1e-4]), name="hc1"),
-        lt.VerticalCorrector(jnp.array([0.1]), angle=jnp.array([1e-4]), name="vc1"),
-        lt.HorizontalCorrector(jnp.array([0.1]), angle=jnp.array([0.0]), name="hc2"),
-        lt.VerticalCorrector(jnp.array([0.1]), angle=jnp.array([0.0]), name="vc2"),
-    ]
-    return lt.Segment(elements, name="long_lattice")
+    from lynx_tpu.models import fodo_lattice
+
+    return fodo_lattice(num_cells=num_cells)
 
 
 def timed(label, fn, *args, iters=20):

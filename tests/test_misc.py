@@ -89,3 +89,28 @@ def test_beam_parameters_dict():
         "mu_x", "mu_xp", "mu_y", "mu_yp", "sigma_x", "sigma_xp",
         "sigma_y", "sigma_yp", "sigma_s", "sigma_p", "energy",
     }
+
+
+def test_fodo_lattice_model():
+    """The bundled FODO factory reproduces the reference benchmark's
+    1058-element lattice and tracks/merges correctly."""
+    import jax.numpy as jnp
+
+    import lynx_tpu as lt
+    from lynx_tpu.models import fodo_cell, fodo_lattice
+
+    lattice = fodo_lattice()
+    assert len(lattice.elements) == 1058
+    small = fodo_lattice(num_cells=3, with_steerers=False)
+    assert len(small.elements) == 21
+    assert isinstance(fodo_cell(), lt.Segment)
+
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.array([1e-4]), energy=jnp.array([1e8])
+    )
+    out = small.track(beam)
+    merged = small.transfer_maps_merged(incoming_beam=beam)
+    out_m = merged.track(beam)
+    np.testing.assert_allclose(
+        np.asarray(out_m.sigma_x), np.asarray(out.sigma_x), rtol=1e-6
+    )
