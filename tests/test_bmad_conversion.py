@@ -104,3 +104,21 @@ def test_bmad_element_subclassing(tmp_path):
     )
     converted = lt.Segment.from_bmad(str(lattice))
     np.testing.assert_allclose(float(converted.q1.k1[0]), 3.0)
+
+
+def test_bmad_overlay_definition_parses(tmp_path):
+    """Overlay definitions (both expression- and knot-based) must parse and
+    be recorded without derailing conversion (reference ``bmad.py:302-345``
+    likewise records overlays in the context)."""
+    lattice = tmp_path / "overlay.bmad"
+    lattice.write_text(
+        "q1: quadrupole, L = 0.5, k1 = 1.0\n"
+        "d1: drift, L = 0.3\n"
+        "ov1: overlay = {q1[k1]: 2 * ramp}, var = {ramp}\n"
+        "ov2: overlay = {d1[L]}, var = {s_pos}, x_knot = {0.0, 1.0}\n"
+        "lat: line = (q1, d1)\n"
+        "use, lat\n"
+    )
+    converted = lt.Segment.from_bmad(str(lattice))
+    assert converted.q1.k1.shape == (1,)
+    np.testing.assert_allclose(float(converted.d1.length[0]), 0.3)
