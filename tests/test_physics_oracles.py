@@ -95,3 +95,48 @@ def test_drift_composition_associativity():
     R_full = np.asarray(full.transfer_map(energy)[0])
     R_half = np.asarray(half.transfer_map(energy)[0])
     np.testing.assert_allclose(R_half @ R_half, R_full, rtol=1e-14)
+
+
+def test_f32_tracking_matches_f64_ares_ea():
+    """Single-precision tracking through the full ARES EA must stay within
+    f32 conditioning of the f64 result — guards the cancellation-free
+    reparametrizations (cavity alpha/r56, drift gamma guards) against
+    regressions that only show up in f32."""
+    import jax.numpy as jnp
+
+    import lynx_tpu as lt
+    from lynx_tpu.functional import track
+    from lynx_tpu.models import ares_ea_segment
+
+    import jax
+
+    def with_dtype(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: (
+                x.astype(dtype)
+                if isinstance(x, jax.Array)
+                and jnp.issubdtype(x.dtype, jnp.floating)
+                else x
+            ),
+            tree,
+        )
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.float64):
+        segment = with_dtype(ares_ea_segment(), dtype)
+        segment.AREABSCR1.is_active = False
+        segment.AREAMQZM1.k1 = jnp.array([4.2], dtype=dtype)
+        segment.AREAMQZM2.k1 = jnp.array([-4.2], dtype=dtype)
+        beam = lt.ParameterBeam.from_parameters(
+            sigma_x=jnp.array([1.75e-4], dtype=dtype),
+            sigma_y=jnp.array([1.75e-4], dtype=dtype),
+            sigma_p=jnp.array([2e-3], dtype=dtype),
+            energy=jnp.array([1.073e8], dtype=dtype),
+            dtype=dtype,
+        )
+        outs[dtype], _ = track(segment, beam)
+
+    for stat in ("mu_x", "mu_y", "sigma_x", "sigma_y", "sigma_s", "sigma_p"):
+        a = np.asarray(getattr(outs[jnp.float32], stat), dtype=np.float64)
+        b = np.asarray(getattr(outs[jnp.float64], stat))
+        np.testing.assert_allclose(a, b, rtol=2e-4, err_msg=stat)
