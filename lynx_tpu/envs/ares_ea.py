@@ -57,9 +57,9 @@ class EnvState(NamedTuple):
 def default_params(key: Optional[Array] = None) -> EnvParams:
     """Randomized-target default parameters (mirrors the ARES-EA task)."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    k_target, k_mu = jax.random.split(key)
-    target_pos = jax.random.uniform(k_target, (2,), minval=-2e-3, maxval=2e-3)
-    target_size = jax.random.uniform(k_target, (2,), minval=1e-5, maxval=1e-3)
+    k_pos, k_size, k_mu = jax.random.split(key, 3)
+    target_pos = jax.random.uniform(k_pos, (2,), minval=-2e-3, maxval=2e-3)
+    target_size = jax.random.uniform(k_size, (2,), minval=1e-5, maxval=1e-3)
     target = jnp.stack(
         [target_pos[0], target_size[0], target_pos[1], target_size[1]]
     )
