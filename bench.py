@@ -58,7 +58,7 @@ N_ITERS = 30
 MEASURE_TIMEOUT_S = 2100.0
 
 
-def _require_backend(timeout_s: float = 180.0, retries: int = 3) -> str:
+def _require_backend(timeout_s: float = 180.0, retries: int = 2) -> str:
     """Probe the accelerator backend in a killable subprocess (backend init
     blocks indefinitely in native code when the remote-TPU tunnel is wedged);
     retries with backoff cover transient tunnel wedges.  Returns the backend
@@ -86,7 +86,7 @@ def _require_backend(timeout_s: float = 180.0, retries: int = 3) -> str:
         except subprocess.CalledProcessError as error:
             last = f"init failed: {error.stderr.decode()[-500:]}"
         if attempt < retries:
-            time.sleep(90.0)
+            time.sleep(60.0)
     print(
         f"bench: accelerator backend unreachable ({last}); falling back to"
         " the CPU backend (result labeled 'cpu_fallback')",
