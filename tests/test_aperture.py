@@ -1,5 +1,6 @@
 """Aperture survival-mask semantics (SURVEY.md §4 categories 1 and 4)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,3 +122,29 @@ def test_weighted_statistics_after_cut():
     np.testing.assert_allclose(
         float(outgoing.mu_x[0]), xs[mask].mean(), rtol=1e-3, atol=1e-9
     )
+
+
+def test_lost_particles_host_side_api():
+    """Reference ``aperture.py:93``: after a non-traced track, the aperture
+    exposes the lost particles (host-side boolean indexing, outside jit)."""
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=2_000,
+        sigma_x=jnp.array([2e-4]),
+        sigma_y=jnp.array([2e-4]),
+        energy=jnp.array([1e8]),
+        key=jax.random.PRNGKey(11),
+    )
+    aperture = lt.Aperture(
+        x_max=jnp.array([1e-4]), y_max=jnp.array([1e-4]), name="ap"
+    )
+    outgoing = lt.Segment([aperture]).track(beam)
+    lost = aperture.lost_particles
+    assert lost is not None
+    survived = int(outgoing.num_particles_survived[0])
+    assert lost.shape[0] == beam.num_particles - survived
+    assert lost.shape[-1] == 7
+    # Every lost particle is actually outside the rectangle.
+    outside = (np.abs(np.asarray(lost[..., 0])) >= 1e-4) | (
+        np.abs(np.asarray(lost[..., 2])) >= 1e-4
+    )
+    assert outside.all()
