@@ -134,3 +134,48 @@ def test_without_inactive_zero_length_elements():
     names = [el.name for el in trimmed.elements]
     assert "m1" not in names and "m2" not in names
     assert "d1" in names and "q1" in names
+
+
+def test_merged_tracks_batched_energy_through_cavity():
+    """SURVEY §7 hard part 3: merging downstream of an energy-changing
+    cavity must use each batch entry's OWN entrance energy — mixed per-entry
+    voltages make the downstream merged maps differ per entry."""
+    segment = lt.Segment(
+        [
+            lt.Drift(length=jnp.array([0.3]), name="d0"),
+            lt.Cavity(
+                length=jnp.array([1.0, 1.0]),
+                voltage=jnp.array([0.0, 5e7]),  # off / strongly accelerating
+                phase=jnp.array([0.0, 0.0]),
+                frequency=jnp.array([1.3e9, 1.3e9]),
+                name="cav",
+            ),
+            lt.Drift(length=jnp.array([0.5]), name="d1"),
+            lt.Quadrupole(
+                length=jnp.array([0.2]), k1=jnp.array([4.2]), name="q1"
+            ),
+            lt.Drift(length=jnp.array([0.5]), name="d2"),
+        ],
+        name="seg_cav",
+    ).broadcast((2,))
+    beam = _beam().broadcast((2,))
+
+    merged = segment.transfer_maps_merged(incoming_beam=beam)
+    out_plain = segment.track(beam)
+    out_merged = merged.track(beam)
+    for stat in STATS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_merged, stat)),
+            np.asarray(getattr(out_plain, stat)),
+            rtol=1e-5,
+            atol=1e-10,
+            err_msg=stat,
+        )
+    # The energy-dependent downstream map must actually differ per entry.
+    custom_maps = [
+        el for el in merged.elements if isinstance(el, lt.CustomTransferMap)
+    ]
+    downstream = custom_maps[-1]
+    tm = np.asarray(downstream._transfer_map)
+    assert tm.shape[0] == 2
+    assert not np.allclose(tm[0], tm[1])
