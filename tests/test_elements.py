@@ -1,6 +1,7 @@
 """Per-element unit tests (SURVEY.md §4 category 4)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -244,3 +245,43 @@ def test_tracking_lengthless_between_nonskippable():
     assert out is not None
     assert bool(jnp.all(jnp.isfinite(out.particles)))
     assert float(out.energy[0]) > float(beam.energy[0])  # both cavities act
+
+
+@pytest.mark.parametrize("is_active", [True, False])
+@pytest.mark.parametrize("BeamCls", [lt.ParameterBeam, lt.ParticleBeam])
+def test_bpm_active_inactive_by_beam_type(is_active, BeamCls):
+    """Reference ``tests/test_bpm.py:7-22``: active BPMs record a reading
+    for either beam type and pass the beam through unchanged; inactive BPMs
+    record nothing."""
+    if BeamCls is lt.ParticleBeam:
+        beam = lt.ParticleBeam.from_parameters(
+            num_particles=1_000,
+            mu_x=jnp.array([3e-5]),
+            sigma_x=jnp.array([1e-4]),
+            energy=jnp.array([1e8]),
+            key=jax.random.PRNGKey(5),
+        )
+    else:
+        beam = lt.ParameterBeam.from_parameters(
+            mu_x=jnp.array([3e-5]),
+            sigma_x=jnp.array([1e-4]),
+            energy=jnp.array([1e8]),
+        )
+    bpm = lt.BPM(name="bpm", is_active=is_active)
+    segment = lt.Segment([lt.Drift(length=jnp.array([0.5])), bpm])
+    outgoing = segment.track(beam)
+
+    assert type(outgoing) is type(beam)
+    # Through the 0.5 m drift the mean moves exactly linearly.
+    expected_mu_x = np.asarray(beam.mu_x) + 0.5 * np.asarray(beam.mu_xp)
+    np.testing.assert_allclose(
+        np.asarray(outgoing.mu_x), expected_mu_x, rtol=1e-5, atol=1e-12
+    )
+    if is_active:
+        reading = segment.bpm.reading
+        assert reading is not None
+        np.testing.assert_allclose(
+            np.asarray(reading[0]), expected_mu_x, rtol=1e-5, atol=1e-12
+        )
+    else:
+        assert segment.bpm.reading is None
