@@ -164,3 +164,53 @@ def test_parameter_and_particle_images_agree_on_orientation():
     # +x offset -> right half (column > W/2); +y offset -> upper half (row < H/2).
     assert peak_particle[1] > 32
     assert peak_particle[0] < 24
+
+
+def test_misaligned_screen_shifts_both_beam_types_identically():
+    """A screen misalignment shifts the image center of mass by the same
+    pixel offset for the particle histogram and the analytic Gaussian image
+    (guards the ParticleBeam y-index fix, ``docs/deviations.md`` §2)."""
+
+    def center_of_mass(image):
+        h, w = image.shape
+        total = image.sum()
+        rows = (image.sum(axis=1) * np.arange(h)).sum() / total
+        cols = (image.sum(axis=0) * np.arange(w)).sum() / total
+        return np.array([rows, cols])
+
+    kwargs = dict(
+        sigma_x=jnp.array([5e-5]),
+        sigma_y=jnp.array([5e-5]),
+        energy=jnp.array([1e8]),
+    )
+    particle = lt.ParticleBeam.from_parameters(
+        num_particles=500_000, key=jax.random.PRNGKey(2), **kwargs
+    )
+    parameter = lt.ParameterBeam.from_parameters(**kwargs)
+
+    shifts = {}
+    for label, beam in [("particle", particle), ("parameter", parameter)]:
+        images = {}
+        for mis in [(0.0, 0.0), (2e-4, -1e-4)]:
+            screen = lt.Screen(
+                resolution=(64, 48),
+                pixel_size=jnp.array((2e-5, 2e-5)),
+                misalignment=jnp.array([mis]),
+                is_active=True,
+                name="s",
+            )
+            lt.Segment([screen]).track(beam)
+            images[mis] = np.asarray(screen.reading[0])
+        shifts[label] = center_of_mass(images[(2e-4, -1e-4)]) - center_of_mass(
+            images[(0.0, 0.0)]
+        )
+
+    # Both beam types move by the same (row, col) pixel shift...
+    np.testing.assert_allclose(
+        shifts["particle"], shifts["parameter"], atol=0.25
+    )
+    # ...and in the physically right direction: screen moved +x -> beam
+    # appears at lower x (columns decrease); screen moved -y -> beam
+    # appears HIGHER in y, and the camera flip maps +y to lower row index.
+    assert shifts["parameter"][1] < -1
+    assert shifts["parameter"][0] < -1
