@@ -95,8 +95,10 @@ def check_fused_backward():
             n_params = tuple(len(p) for p, _ in builders)
             flat = tuple(p for params, _ in builders for p in params)
             out_mu, out_cov = pallas_track._table_reference_sweep(
-                [fn for _, fn in builders], n_params, flat, energy,
-                beam._mu, beam._cov,
+                pallas_track._dyn_entries(
+                    [fn for _, fn in builders], n_params
+                ),
+                flat, energy, beam._mu, beam._cov,
             )
         return jnp.sum(out_cov[:, 0, 0]) * 1e6
 
@@ -139,9 +141,86 @@ def check_particle_sweep():
     )
 
 
+def check_hoisted_plan():
+    """Static-group (const-table) hoisting: the hoisted plan compiles on
+    device, matches the all-dynamic kernel, and reports its speedup (the
+    hoisting skips per-setting map builds for batch-invariant elements —
+    ``benchmarks/README.md``'s VPU-residual candidate)."""
+    import lynx_tpu as lt
+    from lynx_tpu.accelerator.fused import element_map_builder, plan_run
+    from lynx_tpu.ops import pallas_track
+
+    B = 100_000
+    one = lambda v: jnp.full((1,), v)  # noqa: E731
+    elements = [
+        lt.Drift(one(0.5)),
+        lt.Quadrupole(one(0.23), k1=jnp.linspace(-5, 5, B)),
+        lt.Drift(one(0.3)),
+        lt.Dipole(
+            one(0.4), angle=one(0.12), e1=one(0.03),
+            fringe_integral=one(0.4), gap=one(0.02),
+        ),
+        lt.Drift(one(0.2)),
+        lt.HorizontalCorrector(one(0.1), angle=jnp.linspace(-1e-4, 1e-4, B)),
+        lt.Drift(one(0.7)),
+    ]
+    energy_1 = one(1.073e8)
+    energy = jnp.full((B,), 1.073e8)
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1.75e-4),
+        sigma_p=jnp.full((B,), 2e-3),
+        energy=energy,
+    )
+    builders = [element_map_builder(el) for el in elements]
+
+    def vec(x):
+        return jnp.broadcast_to(x, (B,)).reshape(B)
+
+    plan = plan_run(builders, energy_1, vec)
+    all_dyn = [
+        ("dyn", fn, [vec(p) for p in params]) for params, fn in builders
+    ]
+    assert any(kind == "const" for kind, _, _ in plan)
+
+    hoisted_fn = jax.jit(
+        lambda m, c: pallas_track.fused_moment_sweep_plan(plan, energy, m, c)
+    )
+    dyn_fn = jax.jit(
+        lambda m, c: pallas_track.fused_moment_sweep_plan(all_dyn, energy, m, c)
+    )
+    h_mu, h_cov = jax.block_until_ready(hoisted_fn(beam._mu, beam._cov))
+    d_mu, d_cov = jax.block_until_ready(dyn_fn(beam._mu, beam._cov))
+    diff = max(
+        float(jnp.max(jnp.abs(h_mu - d_mu))),
+        float(jnp.max(jnp.abs(h_cov - d_cov))),
+    )
+    scale = float(jnp.max(jnp.abs(d_cov)))
+
+    def timed(fn):
+        jax.block_until_ready(fn(beam._mu, beam._cov))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = fn(beam._mu, beam._cov)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / 20
+
+    t_hoisted = timed(hoisted_fn)
+    t_dyn = timed(dyn_fn)
+    _report(
+        "hoisted_plan_sweep", diff <= 1e-4 * max(scale, 1e-12),
+        {
+            "max_abs_diff": diff,
+            "hoisted_ms": round(t_hoisted * 1e3, 3),
+            "all_dyn_ms": round(t_dyn * 1e3, 3),
+            "speedup": round(t_dyn / t_hoisted, 2),
+        },
+    )
+
+
 if __name__ == "__main__":
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
     check_histogram()
     check_fused_backward()
+    check_hoisted_plan()
     check_particle_sweep()
     print(json.dumps({"check": "all", "ok": True}))

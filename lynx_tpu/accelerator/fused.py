@@ -208,3 +208,58 @@ def element_map_builder(element) -> Optional[Builder]:
 
 def fused_flush_supported(run: list) -> bool:
     return all(element_map_builder(el) is not None for el in run)
+
+
+def _flat_size(value) -> int:
+    size = 1
+    for dim in jnp.shape(value):
+        size *= dim
+    return size
+
+
+_IDENTITY_LAYOUT = [
+    [1.0 if i == j else 0.0 for j in range(7)] for i in range(7)
+]
+
+
+def plan_run(
+    builders: List[Builder], energy: Array, vec: Callable[[Array], Array]
+) -> List[tuple]:
+    """Build a fused-sweep run plan: maximal groups of batch-invariant
+    elements (every parameter AND the energy broadcast-size 1) are
+    pre-composed ONCE in XLA at ``(1,)`` shape and enter the kernel as
+    ``("const", layout, cells)`` entries — no per-setting map build at all;
+    everything else stays a ``("dyn", build_fn, vec'd params)`` entry.
+
+    The pre-composition runs through the same (differentiable) table
+    algebra, so gradients w.r.t. static elements' parameters flow through
+    the const cells.  See ``ops/pallas_track.fused_moment_sweep_plan``.
+    """
+    from lynx_tpu.ops.pallas_track import _split_table
+
+    energy_static = _flat_size(energy) == 1
+    energy_1 = jnp.reshape(energy, (-1,))[:1]
+    plan: List[tuple] = []
+    group: List[Builder] = []
+
+    def flush_group() -> None:
+        if not group:
+            return
+        total = None
+        for params, fn in group:
+            T = fn([jnp.reshape(p, (-1,)) for p in params], energy_1)
+            total = T if total is None else tbl.compose(T, total)
+        group.clear()
+        layout, cells = _split_table(total)
+        if not cells and layout == _IDENTITY_LAYOUT:
+            return  # pure identity (markers / inactive diagnostics): drop
+        plan.append(("const", layout, cells))
+
+    for params, fn in builders:
+        if energy_static and all(_flat_size(p) == 1 for p in params):
+            group.append((params, fn))
+        else:
+            flush_group()
+            plan.append(("dyn", fn, [vec(p) for p in params]))
+    flush_group()
+    return plan

@@ -56,8 +56,7 @@ def _fused_flush(run: list[Element], beam: Beam):
         # XLA's batched matmul for (B, N, 7) pushes (grid-step overhead with
         # a scalar map build per setting); it is not auto-routed.
         return None
-    from lynx_tpu.accelerator.fused import element_map_builder
-    from lynx_tpu.ops.pallas_track import fused_moment_sweep
+    from lynx_tpu.accelerator.fused import element_map_builder, plan_run
 
     energy = jnp.asarray(beam.energy)
     batch_shape, _ = _flat_batch_of(run, energy)
@@ -74,13 +73,12 @@ def _fused_flush(run: list[Element], beam: Beam):
     def vec(x):
         return jnp.broadcast_to(x, batch_shape).reshape(flat)
 
-    element_params = [[vec(p) for p in params] for params, _ in builders]
-    build_fns = [fn for _, fn in builders]
+    from lynx_tpu.ops.pallas_track import fused_moment_sweep_plan
+
+    plan = plan_run(builders, energy, vec)
     mu = jnp.broadcast_to(beam._mu, (*batch_shape, 7)).reshape(flat, 7)
     cov = jnp.broadcast_to(beam._cov, (*batch_shape, 7, 7)).reshape(flat, 7, 7)
-    out_mu, out_cov = fused_moment_sweep(
-        build_fns, element_params, vec(energy), mu, cov
-    )
+    out_mu, out_cov = fused_moment_sweep_plan(plan, vec(energy), mu, cov)
     return ParameterBeam(
         out_mu.reshape(*batch_shape, 7),
         out_cov.reshape(*batch_shape, 7, 7),

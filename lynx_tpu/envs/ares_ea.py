@@ -39,12 +39,20 @@ MAGNET_LIMITS = _np.array([30.0, 30.0, 30.0, 6e-3, 6e-3], dtype=_np.float32)
 
 
 class EnvParams(NamedTuple):
-    """Static-ish environment configuration (a pytree; vmap-able)."""
+    """Per-instance environment configuration (a pytree; vmap-able).
+
+    The working-point beam energy deliberately lives on the environment
+    (``AresEATransverseTuning(energy=...)``), NOT here: per-instance
+    energies would batch the energy through every transfer-map builder and
+    disable the fused sweep's static-element hoisting
+    (``lynx_tpu.accelerator.fused.plan_run``) — and the EA tuning task runs
+    at a fixed working point anyway (magnet strengths are geometric ``k1``,
+    so the maps' energy dependence is only in the longitudinal cells).
+    """
 
     target: Array  # (4,) target (mu_x, sigma_x, mu_y, sigma_y) on the screen
     incoming_mu: Array  # (4,) incoming beam (mu_x, mu_xp, mu_y, mu_yp)
     incoming_sigma: Array  # (4,) incoming (sigma_x, sigma_xp, sigma_y, sigma_yp)
-    energy: Array  # () beam energy in eV
     max_steps: int = 50
 
 
@@ -68,7 +76,6 @@ def default_params(key: Optional[Array] = None) -> EnvParams:
         target=target,
         incoming_mu=incoming_mu,
         incoming_sigma=jnp.array([1.75e-4, 2e-5, 1.75e-4, 2e-5]),
-        energy=jnp.array(1.073e8),
     )
 
 
@@ -82,10 +89,15 @@ class AresEATransverseTuning:
     num_actions = 5
     obs_size = 5 + 4 + 4  # magnets + current beam params + target
 
-    def __init__(self, log_metrics: bool = False) -> None:
+    def __init__(
+        self, log_metrics: bool = False, energy: float = 1.073e8
+    ) -> None:
         segment = ares_ea_segment()
         segment.AREABSCR1.is_active = False
         self._segment = segment
+        #: Working-point beam energy in eV (shared across instances; see
+        #: the ``EnvParams`` docstring for why it is not per-instance).
+        self.energy = float(energy)
         #: When True, every (batched) step emits structured beam-stat
         #: metrics through the ``lynx_tpu.metrics`` logger — jit-safe via
         #: ``jax.debug.callback`` (SURVEY.md §5 metrics row).
@@ -122,7 +134,7 @@ class AresEATransverseTuning:
             sigma_xp=params.incoming_sigma[1][None],
             sigma_y=params.incoming_sigma[2][None],
             sigma_yp=params.incoming_sigma[3][None],
-            energy=params.energy[None],
+            energy=jnp.full((1,), self.energy),
         )
         outgoing, _ = track(tuned, beam)
         return jnp.stack(
@@ -183,7 +195,13 @@ class AresEATransverseTuning:
             sigma_xp=params.incoming_sigma[:, 1],
             sigma_y=params.incoming_sigma[:, 2],
             sigma_yp=params.incoming_sigma[:, 3],
-            energy=params.energy,
+        )
+        # Re-wrap with the UNBATCHED working-point energy:
+        # ``from_parameters`` broadcasts every argument (including energy)
+        # to the common batch shape, which would defeat the fused sweep's
+        # static-element hoisting (see the ``EnvParams`` docstring).
+        beam = lt.ParameterBeam(
+            beam._mu, beam._cov, energy=jnp.full((1,), self.energy)
         )
         outgoing, _ = track(tuned, beam)
         return jnp.stack(

@@ -42,20 +42,43 @@ def _pick_tile(batch: int) -> int:
     return TILE
 
 
+def _table_from_layout(layout, cells):
+    """Rehydrate a sparse table from a ``_split_table`` layout: float entries
+    are structural literals, int entries index into ``cells``."""
+    return [
+        [cell if isinstance(cell, float) else cells[cell] for cell in row]
+        for row in layout
+    ]
+
+
+def _entry_table(entry, refs, offset, energy):
+    """Materialize one plan entry's table from its slice of kernel refs.
+
+    A plan entry is ``("dyn", build_fn, n_params)`` — rebuild the map from
+    per-setting parameter vectors — or ``("const", layout, n_cells)`` — a
+    batch-invariant group pre-composed in XLA, whose dynamic cells stream in
+    as refs (every grid step reads the same block; no in-kernel math at all).
+    Returns ``(table, new_offset)``.
+    """
+    kind, meta, count = entry
+    values = [refs[offset + k][...] for k in range(count)]
+    if kind == "dyn":
+        return meta(values, energy), offset + count
+    return _table_from_layout(meta, values), offset + count
+
+
 def _kernel(
-    build_fns: List[Callable],
-    n_params: List[int],
+    entries: List[tuple],
     *refs,
 ):
-    """Kernel body: refs = [param_0 ... param_{P-1}, energy, mu, cov, out_mu, out_cov].
+    """Kernel body: refs = [entry values in plan order ..., energy, mu, cov,
+    out_mu, out_cov].
 
     Maps live as sparse *tables* of (TILE,) vectors (see ``ops/table.py``) —
     Mosaic cannot stack/contract the tiny 7-dims, and the tables skip
     structural zeros at trace time anyway.
     """
-    num_elements = len(build_fns)
-    total_params = sum(n_params)
-    param_refs = refs[:total_params]
+    total_params = sum(count for _, _, count in entries)
     energy_ref = refs[total_params]
     mu_ref = refs[total_params + 1]
     cov_ref = refs[total_params + 2]
@@ -68,10 +91,8 @@ def _kernel(
     # Build and left-compose tables sequentially: total = R_{L-1} ... R_0.
     total = None
     offset = 0
-    for index in range(num_elements):
-        params = [param_refs[offset + k][...] for k in range(n_params[index])]
-        offset += n_params[index]
-        T = build_fns[index](params, energy)
+    for entry in entries:
+        T, offset = _entry_table(entry, refs, offset, energy)
         total = T if total is None else tbl.compose(T, total)
 
     mu_cells = [mu_ref[i, :] for i in range(7)]
@@ -87,18 +108,30 @@ def _kernel(
             )
 
 
-def _table_reference_sweep(build_fns, n_params, flat_params, energy, mu, cov):
+def _dyn_entries(build_fns, n_params) -> tuple:
+    """Plan-entry tuple for an all-dynamic run (tests/benchmark helpers)."""
+    return tuple(
+        ("dyn", fn, count) for fn, count in zip(build_fns, n_params)
+    )
+
+
+def _table_reference_sweep(entries, flat_values, energy, mu, cov):
     """Pure-XLA implementation of the fused sweep (same math, same builders,
-    no pallas) — the differentiable reference used by the custom VJP."""
-    element_params = []
-    offset = 0
-    for count in n_params:
-        element_params.append(list(flat_params[offset : offset + count]))
-        offset += count
+    no pallas) — the differentiable reference used by tests and fallbacks.
+    ``entries`` are plan entries as in :func:`_kernel`; ``flat_values`` the
+    matching parameter/cell arrays in plan order."""
     total = None
-    for build, params in zip(build_fns, element_params):
-        T = build(params, energy)
+    offset = 0
+    for kind, meta, count in entries:
+        values = list(flat_values[offset : offset + count])
+        offset += count
+        if kind == "dyn":
+            T = meta(values, energy)
+        else:
+            T = _table_from_layout(meta, values)
         total = T if total is None else tbl.compose(T, total)
+    if total is None:
+        total = tbl.identity_table()
     mu_cells = [mu[:, i] for i in range(7)]
     out_mu_cells = tbl.matvec(total, mu_cells)
     cov_table = [[cov[:, i, j] for j in range(7)] for i in range(7)]
@@ -127,38 +160,59 @@ def fused_moment_sweep(
     mu: Array,
     cov: Array,
 ) -> Tuple[Array, Array]:
-    """Differentiable fused sweep: forward runs the Pallas kernel; the
-    backward pass runs a second fused Pallas kernel (``_bwd_kernel``) that
-    rebuilds the per-element maps in VMEM with their VJPs and chain-rules
-    the cotangents through the table product — large-batch ``jax.grad``
-    training never falls back to the HBM-bound XLA table chain.
+    """All-dynamic convenience wrapper over :func:`fused_moment_sweep_plan`
+    (every element's map rebuilt per setting in the kernel)."""
+    plan = [
+        ("dyn", fn, list(params))
+        for fn, params in zip(build_fns, element_params)
+    ]
+    return fused_moment_sweep_plan(plan, energy, mu, cov)
+
+
+def fused_moment_sweep_plan(
+    plan: List[tuple],
+    energy: Array,
+    mu: Array,
+    cov: Array,
+) -> Tuple[Array, Array]:
+    """Differentiable fused sweep over a mixed static/dynamic run plan.
+
+    ``plan`` entries are ``("dyn", build_fn, [(B,) param vectors])`` for
+    elements whose parameters vary per setting (maps rebuilt in VMEM), or
+    ``("const", layout, [(1,) cell arrays])`` for maximal groups of
+    batch-invariant elements pre-composed ONCE in XLA (``_split_table``
+    layout + dynamic cells) — the kernel just reads their cells, skipping
+    the per-setting transcendental map builds entirely (the VPU-bound cost
+    identified in ``benchmarks/README.md``).
+
+    Forward runs the Pallas kernel; the backward pass runs a second fused
+    Pallas kernel (``_bwd_kernel``) that rebuilds the dynamic maps in VMEM
+    with their VJPs and chain-rules the cotangents through the table
+    product.  Const-cell cotangents are accumulated across grid steps and
+    flow back through the (differentiable) XLA pre-composition, so
+    ``jax.grad`` w.r.t. static elements' parameters works too.
     """
-    n_params = tuple(len(params) for params in element_params)
-    flat_params = tuple(p for params in element_params for p in params)
+    entries = tuple(
+        (kind, meta, len(values)) for kind, meta, values in plan
+    )
+    flat_values = tuple(v for _, _, values in plan for v in values)
 
     @jax.custom_vjp
-    def sweep(flat_params, energy, mu, cov):
-        element_params = []
-        offset = 0
-        for count in n_params:
-            element_params.append(list(flat_params[offset : offset + count]))
-            offset += count
-        return _fused_moment_sweep_impl(
-            build_fns, element_params, energy, mu, cov
-        )
+    def sweep(flat_values, energy, mu, cov):
+        return _fused_moment_sweep_impl(entries, flat_values, energy, mu, cov)
 
-    def fwd(flat_params, energy, mu, cov):
-        return sweep(flat_params, energy, mu, cov), (flat_params, energy, mu, cov)
+    def fwd(flat_values, energy, mu, cov):
+        return sweep(flat_values, energy, mu, cov), (flat_values, energy, mu, cov)
 
     def bwd(residuals, cotangents):
-        flat_params, energy, mu, cov = residuals
+        flat_values, energy, mu, cov = residuals
         dmu_out, dcov_out = cotangents
         return _fused_moment_sweep_bwd_impl(
-            build_fns, n_params, flat_params, energy, mu, cov, dmu_out, dcov_out
+            entries, flat_values, energy, mu, cov, dmu_out, dcov_out
         )
 
     sweep.defvjp(fwd, bwd)
-    return sweep(flat_params, energy, mu, cov)
+    return sweep(flat_values, energy, mu, cov)
 
 
 #: Backward-kernel batch tile.  Smaller than the forward's: the backward
@@ -185,20 +239,24 @@ def _make_arr_build(build, n_params_i):
     return arr_build
 
 
-def _bwd_kernel(build_fns, n_params, *refs):
+def _bwd_kernel(entries, *refs):
     """Fused backward: refs =
-    [param_0..param_{P-1}, energy, mu, cov, dmu, dcov,
-     d_param_0..d_param_{P-1}, d_energy, d_mu, d_cov].
+    [entry values in plan order, energy, mu, cov, dmu, dcov,
+     d_values in plan order, d_energy, d_mu, d_cov].
 
     Math (T = R_{L-1} ... R_0, out_mu = T mu, out_cov = T C T^T):
       d_mu  = T^T dmu
       d_cov = T^T dcov T
       dT    = dmu mu^T + dcov T C^T + dcov^T T C
       dR_i  = L_i^T dT M_i^T   with L_i = R_{L-1}..R_{i+1}, M_i = R_{i-1}..R_0
-      (dparams_i, denergy_i) = vjp(build_i)(dR_i at the non-literal cells)
+      dyn entries:   (dparams_i, denergy_i) = vjp(build_i)(dR_i at cells)
+      const entries: d_cell = dR_i at the cell's position, summed over the
+                     batch — accumulated across grid steps into a pinned
+                     block, reduced to a scalar outside the kernel.  (Their
+                     energy/parameter cotangents flow through the XLA
+                     pre-composition, not through this kernel.)
     """
-    num_elements = len(build_fns)
-    total_params = sum(n_params)
+    total_params = sum(count for _, _, count in entries)
     param_refs = refs[:total_params]
     energy_ref = refs[total_params]
     mu_ref = refs[total_params + 1]
@@ -215,34 +273,42 @@ def _bwd_kernel(build_fns, n_params, *refs):
     dtype = energy.dtype
     shape = energy.shape
 
-    # Forward re-pass: per-element tables (with VJPs) and prefix products.
+    # Forward re-pass: per-entry tables (dyn: with VJPs) + prefix products.
     tables = []
-    vjps = []
+    vjps = []  # None for const entries
     positions = []
     prefixes = []  # M_i = R_{i-1} ... R_0 (M_0 = I)
     prefix = tbl.identity_table()
     offset = 0
-    for index in range(num_elements):
-        params = tuple(
-            param_refs[offset + k][...] for k in range(n_params[index])
-        )
-        offset += n_params[index]
-        # Structure/literal layout (traced once more; XLA/Mosaic CSE dedupes
-        # against the vjp forward below).
-        struct = build_fns[index](list(params), energy)
-        pos = [
-            (r, c)
-            for r in range(7)
-            for c in range(7)
-            if not tbl._is_literal(struct[r][c])
-        ]
-        cells, vjp_fn = jax.vjp(
-            _make_arr_build(build_fns[index], n_params[index]), params, energy
-        )
-        assert len(cells) == len(pos), "builder cell layout not input-stable"
-        table = [row[:] for row in struct]
-        for (r, c), cell in zip(pos, cells):
-            table[r][c] = cell
+    for kind, meta, count in entries:
+        params = tuple(param_refs[offset + k][...] for k in range(count))
+        offset += count
+        if kind == "const":
+            table = _table_from_layout(meta, list(params))
+            pos = [
+                (r, c)
+                for r in range(7)
+                for c in range(7)
+                if not isinstance(meta[r][c], float)
+            ]
+            vjp_fn = None
+        else:
+            # Structure/literal layout (traced once more; XLA/Mosaic CSE
+            # dedupes against the vjp forward below).
+            struct = meta(list(params), energy)
+            pos = [
+                (r, c)
+                for r in range(7)
+                for c in range(7)
+                if not tbl._is_literal(struct[r][c])
+            ]
+            cells, vjp_fn = jax.vjp(
+                _make_arr_build(meta, count), params, energy
+            )
+            assert len(cells) == len(pos), "builder cell layout not input-stable"
+            table = [row[:] for row in struct]
+            for (r, c), cell in zip(pos, cells):
+                table[r][c] = cell
         tables.append(table)
         vjps.append(vjp_fn)
         positions.append(pos)
@@ -270,12 +336,14 @@ def _bwd_kernel(build_fns, n_params, *refs):
         ),
     )
 
-    # Reverse pass: suffix products + per-element parameter cotangents.
+    # Reverse pass: suffix products + per-entry cotangents.
     d_energy = jnp.zeros(shape, dtype=dtype)
     suffix = tbl.identity_table()  # L_i = R_{L-1} ... R_{i+1}
     flat_index = total_params
-    for index in reversed(range(num_elements)):
-        flat_index -= n_params[index]
+    first_step = pl.program_id(0) == 0
+    for index in reversed(range(len(entries))):
+        kind, _, count = entries[index]
+        flat_index -= count
         dR = tbl.compose(
             tbl.transpose_table(suffix),
             tbl.compose(dT, tbl.transpose_table(prefixes[index])),
@@ -284,12 +352,26 @@ def _bwd_kernel(build_fns, n_params, *refs):
             tbl.broadcast_cell(dR[r][c], shape, dtype)
             for (r, c) in positions[index]
         )
-        d_params, d_e = vjps[index](cotangents)
-        for k in range(n_params[index]):
-            d_param_refs[flat_index + k][...] = tbl.broadcast_cell(
-                d_params[k], shape, dtype
-            )
-        d_energy = d_energy + d_e
+        if kind == "const":
+            # Per-lane partial sums, accumulated across grid steps into the
+            # same pinned block; the scalar reduction happens outside.
+            for k, value in enumerate(cotangents):
+                ref = d_param_refs[flat_index + k]
+
+                @pl.when(first_step)
+                def _init(ref=ref, value=value):
+                    ref[...] = value
+
+                @pl.when(jnp.logical_not(first_step))
+                def _acc(ref=ref, value=value):
+                    ref[...] = ref[...] + value
+        else:
+            d_params, d_e = vjps[index](cotangents)
+            for k in range(count):
+                d_param_refs[flat_index + k][...] = tbl.broadcast_cell(
+                    d_params[k], shape, dtype
+                )
+            d_energy = d_energy + d_e
         suffix = tbl.compose(suffix, tables[index])
 
     d_energy_ref[...] = d_energy
@@ -302,22 +384,22 @@ def _bwd_kernel(build_fns, n_params, *refs):
 
 
 def _fused_moment_sweep_bwd_impl(
-    build_fns, n_params, flat_params, energy, mu, cov, dmu_out, dcov_out
+    entries, flat_values, energy, mu, cov, dmu_out, dcov_out
 ):
-    """Run the fused backward kernel; returns (d_flat_params, d_energy,
+    """Run the fused backward kernel; returns (d_flat_values, d_energy,
     d_mu, d_cov) matching the custom_vjp primal signature."""
     B = energy.shape[0]
     tile = min(BWD_TILE, max(B, 1))
     dtype = mu.dtype
+    in_shapes = [jnp.shape(v) for v in flat_values]
+    in_dtypes = [jnp.result_type(v) for v in flat_values]
     energy = energy.astype(dtype)
     cov = cov.astype(dtype)
-    flat_params = tuple(p.astype(dtype) for p in flat_params)
     dmu_out = dmu_out.astype(dtype)
     dcov_out = dcov_out.astype(dtype)
 
-    if B % tile != 0:
-        pad = tile - B % tile
-        flat_params = tuple(jnp.pad(p, (0, pad)) for p in flat_params)
+    pad = (tile - B % tile) % tile
+    if pad:
         energy = jnp.pad(energy, (0, pad), constant_values=1.0)
         mu = jnp.pad(mu, ((0, pad), (0, 0)))
         cov = jnp.pad(cov, ((0, pad), (0, 0), (0, 0)))
@@ -326,53 +408,105 @@ def _fused_moment_sweep_bwd_impl(
     padded = energy.shape[0]
     grid = padded // tile
 
+    values, value_specs = _prepare_entry_values(
+        entries, flat_values, dtype, tile, pad
+    )
+
     mu_bl = jnp.moveaxis(mu, 0, -1)
     cov_bl = jnp.moveaxis(cov, 0, -1)
     dmu_bl = jnp.moveaxis(dmu_out, 0, -1)
     dcov_bl = jnp.moveaxis(dcov_out, 0, -1)
 
     vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((tile,), lambda i: (0,), memory_space=pltpu.VMEM)
     mu_spec = pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     cov_spec = pl.BlockSpec(
         (7, 7, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
 
-    n_flat = len(flat_params)
+    # Per-value output specs/shapes: dyn cotangents step through the batch,
+    # const cotangents accumulate into one pinned (tile,) block.
+    d_value_specs = []
+    d_value_shapes = []
+    is_const = []
+    for kind, _, count in entries:
+        for _ in range(count):
+            if kind == "dyn":
+                d_value_specs.append(vec_spec)
+                d_value_shapes.append(jax.ShapeDtypeStruct((padded,), dtype))
+                is_const.append(False)
+            else:
+                d_value_specs.append(const_spec)
+                d_value_shapes.append(jax.ShapeDtypeStruct((tile,), dtype))
+                is_const.append(True)
+
+    n_flat = len(values)
     outs = pl.pallas_call(
-        partial(_bwd_kernel, build_fns, tuple(n_params)),
+        partial(_bwd_kernel, entries),
         grid=(grid,),
-        in_specs=[vec_spec] * n_flat
+        in_specs=value_specs
         + [vec_spec, mu_spec, cov_spec, mu_spec, cov_spec],
-        out_specs=tuple([vec_spec] * n_flat + [vec_spec, mu_spec, cov_spec]),
+        out_specs=tuple(d_value_specs + [vec_spec, mu_spec, cov_spec]),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((padded,), dtype)] * n_flat
+            d_value_shapes
             + [
                 jax.ShapeDtypeStruct((padded,), dtype),
                 jax.ShapeDtypeStruct((7, padded), dtype),
                 jax.ShapeDtypeStruct((7, 7, padded), dtype),
             ]
         ),
-    )(*flat_params, energy, mu_bl, cov_bl, dmu_bl, dcov_bl)
+    )(*values, energy, mu_bl, cov_bl, dmu_bl, dcov_bl)
 
-    d_flat = tuple(o[:B] for o in outs[:n_flat])
+    d_flat = tuple(
+        (o.sum() if const else o[:B])
+        .reshape(shape)
+        .astype(in_dtype)
+        for o, const, shape, in_dtype in zip(
+            outs[:n_flat], is_const, in_shapes, in_dtypes
+        )
+    )
     d_energy = outs[n_flat][:B]
     d_mu = jnp.moveaxis(outs[n_flat + 1], -1, 0)[:B]
     d_cov = jnp.moveaxis(outs[n_flat + 2], -1, 0)[:B]
     return d_flat, d_energy, d_mu, d_cov
 
 
+def _prepare_entry_values(entries, flat_values, dtype, tile, pad):
+    """Cast, pad (dyn) or tile-broadcast (const) the flat entry values, and
+    build their matching BlockSpecs: dyn vectors step through the batch,
+    const cells pin block index 0 (fetched once, reused by every step)."""
+    dyn_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((tile,), lambda i: (0,), memory_space=pltpu.VMEM)
+    values = []
+    specs = []
+    offset = 0
+    for kind, _, count in entries:
+        for k in range(count):
+            v = flat_values[offset + k].astype(dtype)
+            if kind == "dyn":
+                if pad:
+                    v = jnp.pad(v, (0, pad))
+                specs.append(dyn_spec)
+            else:
+                v = jnp.broadcast_to(v.reshape(()), (tile,))
+                specs.append(const_spec)
+            values.append(v)
+        offset += count
+    return values, specs
+
+
 def _fused_moment_sweep_impl(
-    build_fns: List[Callable],
-    element_params: List[List[Array]],
+    entries: tuple,
+    flat_values: tuple,
     energy: Array,
     mu: Array,
     cov: Array,
 ) -> Tuple[Array, Array]:
     """Run the fused build+fold+apply kernel over a flat batch.
 
-    :param build_fns: per-element ``f(params_list, energy) -> (7, 7, TILE)``
-        map builders (must produce batch-last maps; see ``ops/rmatrix.py``).
-    :param element_params: per-element list of ``(B,)`` parameter arrays.
+    :param entries: plan entries ``(kind, meta, count)`` (see ``_kernel``).
+    :param flat_values: parameter/cell arrays in plan order — ``(B,)`` for
+        dyn entries, ``(1,)``/scalar for const entries.
     :param energy: ``(B,)`` beam energy.
     :param mu: ``(B, 7)`` moment means.
     :param cov: ``(B, 7, 7)`` covariances.
@@ -384,26 +518,21 @@ def _fused_moment_sweep_impl(
     # One dtype end-to-end (ref writes require exact dtype match).
     energy = energy.astype(dtype)
     cov = cov.astype(dtype)
-    element_params = [
-        [p.astype(dtype) for p in params] for params in element_params
-    ]
-    if B % tile != 0:
-        pad = tile - B % tile
-        element_params = [
-            [jnp.pad(p, (0, pad)) for p in params] for params in element_params
-        ]
+    pad = (tile - B % tile) % tile
+    if pad:
         energy = jnp.pad(energy, (0, pad), constant_values=1.0)
         mu = jnp.pad(mu, ((0, pad), (0, 0)))
         cov = jnp.pad(cov, ((0, pad), (0, 0), (0, 0)))
     padded = energy.shape[0]
     grid = padded // tile
 
+    values, value_specs = _prepare_entry_values(
+        entries, flat_values, dtype, tile, pad
+    )
+
     # Batch-last inputs for lane-aligned access.
     mu_bl = jnp.moveaxis(mu, 0, -1)  # (7, padded)
     cov_bl = jnp.moveaxis(cov, 0, -1)  # (7, 7, padded)
-
-    flat_params = [p for params in element_params for p in params]
-    n_params = [len(params) for params in element_params]
 
     vec_spec = pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM)
     mu_spec = pl.BlockSpec((7, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -412,15 +541,15 @@ def _fused_moment_sweep_impl(
     )
 
     out_mu_bl, out_cov_bl = pl.pallas_call(
-        partial(_kernel, build_fns, n_params),
+        partial(_kernel, entries),
         grid=(grid,),
-        in_specs=[vec_spec] * len(flat_params) + [vec_spec, mu_spec, cov_spec],
+        in_specs=value_specs + [vec_spec, mu_spec, cov_spec],
         out_specs=(mu_spec, cov_spec),
         out_shape=(
             jax.ShapeDtypeStruct((7, padded), dtype),
             jax.ShapeDtypeStruct((7, 7, padded), dtype),
         ),
-    )(*flat_params, energy, mu_bl, cov_bl)
+    )(*values, energy, mu_bl, cov_bl)
 
     out_mu = jnp.moveaxis(out_mu_bl, -1, 0)[:B]
     out_cov = jnp.moveaxis(out_cov_bl, -1, 0)[:B]

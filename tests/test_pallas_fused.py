@@ -361,15 +361,14 @@ def test_fused_backward_full_vjp_parity(interpreted_pallas):
     dmu = jax.random.normal(k1, (B, 7), dtype=jnp.float32)
     dcov = jax.random.normal(k2, (B, 7, 7), dtype=jnp.float32)
 
+    entries = pallas_track._dyn_entries(build_fns, n_params)
     # Fused Pallas backward.
     d_fused = pallas_track._fused_moment_sweep_bwd_impl(
-        build_fns, n_params, flat_params, energy, beam._mu, beam._cov, dmu, dcov
+        entries, flat_params, energy, beam._mu, beam._cov, dmu, dcov
     )
     # XLA table-reference VJP at the same inputs/cotangents.
     _, vjp = jax.vjp(
-        lambda fp, e, m, c: _table_reference_sweep(
-            build_fns, n_params, fp, e, m, c
-        ),
+        lambda fp, e, m, c: _table_reference_sweep(entries, fp, e, m, c),
         flat_params,
         energy,
         beam._mu,
@@ -385,4 +384,175 @@ def test_fused_backward_full_vjp_parity(interpreted_pallas):
             np.asarray(ref_leaf),
             rtol=1e-6,
             atol=1e-6 * max(1.0, float(np.max(np.abs(np.asarray(ref_leaf))))),
+        )
+
+
+# -- static-group (const-table) hoisting -------------------------------------
+
+
+def _mixed_static_elements(B):
+    """ARES-like run: static drifts/dipole around dynamic (swept) magnets.
+
+    Static elements carry ``(1,)`` parameters (batch-invariant); dynamic
+    elements carry ``(B,)`` sweeps.
+    """
+    one = lambda v: jnp.full((1,), v)  # noqa: E731
+    return [
+        lt.Drift(one(0.5)),
+        lt.Quadrupole(jnp.full((B,), 0.23), k1=jnp.linspace(-5, 5, B)),
+        lt.Drift(one(0.3)),
+        lt.Dipole(
+            one(0.4),
+            angle=one(0.12),
+            e1=one(0.03),
+            fringe_integral=one(0.4),
+            gap=one(0.02),
+        ),
+        lt.Drift(one(0.2)),
+        lt.HorizontalCorrector(one(0.1), angle=jnp.linspace(-1e-4, 1e-4, B)),
+        lt.Marker(),
+        lt.Drift(one(0.7)),
+    ]
+
+
+def _plan_and_reference(elements, B, energy):
+    from lynx_tpu.accelerator.fused import plan_run
+
+    builders = [element_map_builder(el) for el in elements]
+
+    def vec(x):
+        return jnp.broadcast_to(x, (B,)).reshape(B)
+
+    plan = plan_run(builders, energy, vec)
+    all_dyn = [
+        ("dyn", fn, [vec(p) for p in params]) for params, fn in builders
+    ]
+    return plan, all_dyn
+
+
+def test_plan_run_groups_static_elements():
+    B = 64
+    energy = jnp.full((1,), 1.073e8)
+    elements = _mixed_static_elements(B)
+    plan, _ = _plan_and_reference(elements, B, energy)
+    kinds = [kind for kind, _, _ in plan]
+    # [drift] [quad] [drift dipole drift] [corrector] [marker drift]
+    assert kinds == ["const", "dyn", "const", "dyn", "const"]
+    for kind, meta, values in plan:
+        if kind == "const":
+            assert all(jnp.shape(v) == (1,) for v in values)
+        else:
+            assert all(jnp.shape(v) == (B,) for v in values)
+
+    # Batched energy disables hoisting entirely.
+    plan_be, _ = _plan_and_reference(
+        elements, B, jnp.full((B,), 1.073e8)
+    )
+    assert all(kind == "dyn" for kind, _, _ in plan_be)
+
+    # A pure-identity static group (markers / inactive diagnostics) is
+    # dropped from the plan rather than shipped as an empty const table.
+    ident_plan, _ = _plan_and_reference([lt.Marker()], B, energy)
+    assert ident_plan == []
+
+
+def test_fused_sweep_plan_matches_all_dynamic(interpreted_pallas):
+    B = 192  # not a multiple of the tile (exercises padding)
+    energy_1 = jnp.full((1,), 1.073e8)
+    energy = jnp.full((B,), 1.073e8)
+    elements = _mixed_static_elements(B)
+    plan, all_dyn = _plan_and_reference(elements, B, energy_1)
+
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1.75e-4),
+        sigma_p=jnp.full((B,), 2e-3),
+        energy=energy,
+    )
+    out_mu, out_cov = pallas_track.fused_moment_sweep_plan(
+        plan, energy, beam._mu, beam._cov
+    )
+    ref_mu, ref_cov = pallas_track.fused_moment_sweep_plan(
+        all_dyn, energy, beam._mu, beam._cov
+    )
+    np.testing.assert_allclose(out_mu, ref_mu, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(out_cov, ref_cov, rtol=1e-5, atol=1e-12)
+
+
+def test_fused_sweep_plan_all_static(interpreted_pallas):
+    """A fully batch-invariant run (one const entry) applied to batched
+    moments matches the dense XLA track."""
+    B = 128
+    energy_1 = jnp.full((1,), 1.073e8)
+    energy = jnp.full((B,), 1.073e8)
+    elements = [
+        lt.Drift(jnp.full((1,), 0.5)),
+        lt.Quadrupole(jnp.full((1,), 0.23), k1=jnp.full((1,), 3.3)),
+        lt.Drift(jnp.full((1,), 0.4)),
+    ]
+    plan, all_dyn = _plan_and_reference(elements, B, energy_1)
+    assert [kind for kind, _, _ in plan] == ["const"]
+
+    mu = jnp.tile(jnp.array([[1e-4, 2e-5, -1e-4, 1e-5, 0.0, 1e-3, 1.0]]), (B, 1))
+    cov = jnp.tile(jnp.eye(7)[None] * 1e-8, (B, 1, 1))
+    out_mu, out_cov = pallas_track.fused_moment_sweep_plan(plan, energy, mu, cov)
+    ref_mu, ref_cov = pallas_track.fused_moment_sweep_plan(
+        all_dyn, energy, mu, cov
+    )
+    np.testing.assert_allclose(out_mu, ref_mu, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(out_cov, ref_cov, rtol=1e-5, atol=1e-14)
+
+
+def test_fused_sweep_plan_gradient_parity(interpreted_pallas):
+    """Gradients flow through BOTH the dynamic (in-kernel VJP) and static
+    (XLA pre-composition via const-cell cotangents) halves of a hoisted
+    plan, matching the all-dynamic kernel."""
+    B = 128
+    energy = jnp.full((B,), 1.073e8)
+    energy_1 = jnp.full((1,), 1.073e8)
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.full((B,), 1.75e-4),
+        sigma_p=jnp.full((B,), 2e-3),
+        energy=energy,
+    )
+
+    def loss(k1_dyn, drift_len, hoisted):
+        elements = [
+            lt.Drift(drift_len),
+            lt.Quadrupole(jnp.full((B,), 0.23), k1=k1_dyn),
+            lt.Drift(drift_len * 0.5),
+        ]
+        builders = [element_map_builder(el) for el in elements]
+
+        def vec(x):
+            return jnp.broadcast_to(x, (B,)).reshape(B)
+
+        if hoisted:
+            from lynx_tpu.accelerator.fused import plan_run
+
+            plan = plan_run(builders, energy_1, vec)
+            assert [k for k, _, _ in plan] == ["const", "dyn", "const"]
+        else:
+            plan = [
+                ("dyn", fn, [vec(p) for p in params])
+                for params, fn in builders
+            ]
+        out_mu, out_cov = pallas_track.fused_moment_sweep_plan(
+            plan, energy, beam._mu, beam._cov
+        )
+        return jnp.sum(out_cov[:, 0, 0]) * 1e6 + jnp.sum(out_mu[:, 0])
+
+    k1 = jnp.linspace(-5, 5, B)
+    drift_len = jnp.full((1,), 0.5)
+    g_hoisted = jax.jit(
+        jax.grad(loss, argnums=(0, 1)), static_argnums=2
+    )(k1, drift_len, True)
+    g_ref = jax.jit(
+        jax.grad(loss, argnums=(0, 1)), static_argnums=2
+    )(k1, drift_len, False)
+    for hoisted_leaf, ref_leaf in zip(g_hoisted, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(hoisted_leaf),
+            np.asarray(ref_leaf),
+            rtol=1e-4,
+            atol=1e-5 * max(1.0, float(np.max(np.abs(np.asarray(ref_leaf))))),
         )
