@@ -192,6 +192,11 @@ def fused_moment_sweep_plan(
     flow back through the (differentiable) XLA pre-composition, so
     ``jax.grad`` w.r.t. static elements' parameters works too.
     """
+    if not plan:
+        # A run can plan to nothing (e.g. only inactive diagnostics, whose
+        # pure-identity const group ``plan_run`` drops) — the sweep is then
+        # the identity on the moments.
+        return mu, cov
     entries = tuple(
         (kind, meta, len(values)) for kind, meta, values in plan
     )

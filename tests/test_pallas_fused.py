@@ -456,6 +456,25 @@ def test_plan_run_groups_static_elements():
     assert ident_plan == []
 
 
+def test_fused_sweep_empty_plan_is_identity():
+    """A run that plans to nothing (marker-only lattice with a batched beam)
+    must sweep as the identity instead of tracing a zero-entry kernel."""
+    B = 64
+    energy = jnp.full((B,), 1.073e8)
+    mu = jnp.tile(jnp.array([[1e-4, 2e-5, -1e-4, 1e-5, 0.0, 1e-3, 1.0]]), (B, 1))
+    cov = jnp.tile(jnp.eye(7)[None] * 1e-8, (B, 1, 1))
+    out_mu, out_cov = pallas_track.fused_moment_sweep_plan([], energy, mu, cov)
+    np.testing.assert_array_equal(out_mu, mu)
+    np.testing.assert_array_equal(out_cov, cov)
+    # ... and stays differentiable.
+    g = jax.grad(
+        lambda m: jnp.sum(
+            pallas_track.fused_moment_sweep_plan([], energy, m, cov)[0]
+        )
+    )(mu)
+    np.testing.assert_array_equal(g, jnp.ones_like(mu))
+
+
 def test_fused_sweep_plan_matches_all_dynamic(interpreted_pallas):
     B = 192  # not a multiple of the tile (exercises padding)
     energy_1 = jnp.full((1,), 1.073e8)
