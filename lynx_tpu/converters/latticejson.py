@@ -82,8 +82,14 @@ class _PackedParams:
 
     def get(self, element_name: str, key: str, value: Any) -> Any:
         """On-device array for a packed parameter, or the plain value."""
+        if isinstance(value, (str, bool)) or key in _HOST_KEYS:
+            # Static configuration stays host-side: converting e.g. a screen
+            # ``resolution`` with ``jnp.asarray`` would stage it as a traced
+            # constant when the lattice is loaded inside ``jit``, breaking
+            # ``int()``-based shape configuration in element constructors.
+            return value
         if (element_name, key) not in self._index:
-            return value if isinstance(value, (str, bool)) else jnp.asarray(value)
+            return jnp.asarray(value)
         return self._arrays[self._index[(element_name, key)]]
 
 
@@ -172,7 +178,10 @@ def parse_element(
             key: packed.get(name, key, value) for key, value in params.items()
         }
     else:
-        converted = {key: plain_to_feature(value) for key, value in params.items()}
+        converted = {
+            key: value if key in _HOST_KEYS else plain_to_feature(value)
+            for key, value in params.items()
+        }
     return element_class(name=name, **converted)
 
 

@@ -128,3 +128,30 @@ def test_random_lattice_roundtrip_fuzz(tmp_path):
                 rtol=1e-6,
                 err_msg=f"seed {seed}: {stat}",
             )
+
+
+def test_load_inside_jit(tmp_path):
+    """Loading a lattice inside a jitted function must trace: static screen
+    configuration (resolution/binning) has to stay host-side instead of
+    becoming traced constants (regression: ``_PackedParams.get`` converted
+    host keys with ``jnp.asarray``, breaking ``Screen.__init__`` under jit)."""
+    import jax
+
+    segment = _segment()
+    path = str(tmp_path / "lattice.json")
+    segment.to_lattice_json(path)
+
+    beam = lt.ParameterBeam.from_parameters(
+        sigma_x=jnp.array([1.75e-4]), energy=jnp.array([1e8])
+    )
+
+    @jax.jit
+    def tracked_sigma(mu):
+        reloaded = lt.Segment.from_lattice_json(path)
+        out, _ = lt.functional.track(reloaded, lt.ParameterBeam(mu, beam._cov, beam.energy))
+        return out.sigma_x
+
+    eager = lt.functional.track(lt.Segment.from_lattice_json(path), beam)[0].sigma_x
+    np.testing.assert_allclose(
+        np.asarray(tracked_sigma(beam._mu)), np.asarray(eager), rtol=1e-6
+    )
