@@ -21,6 +21,13 @@ Usage: python benchmarks/particle_ab.py [--batch 100] [--particles 10000]
 
 from __future__ import annotations
 
+# Make the repo root importable no matter where this script is launched
+# from (round-2 on-device runs died on `ModuleNotFoundError: lynx_tpu`).
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time

@@ -16,6 +16,13 @@ green.
 
 from __future__ import annotations
 
+# Make the repo root importable no matter where this script is launched
+# from (round-2 on-device runs died on `ModuleNotFoundError: lynx_tpu`).
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import json
 import time
 
@@ -37,12 +44,24 @@ def check_histogram():
     from lynx_tpu.ops import histogram as h
 
     key = jax.random.PRNGKey(0)
-    # Tiny shape first: 64x256 image, spot inside a window.
-    for bins, n in (((64, 256), 4096), ((2448, 2040), 100_000)):
-        kx, ky, kw = jax.random.split(jax.random.fold_in(key, bins[0]), 3)
-        x = 0.5 + 0.01 * jax.random.normal(kx, (n,))
-        y = 0.5 + 0.01 * jax.random.normal(ky, (n,))
-        w = jax.random.uniform(kw, (n,))
+    # Small shape first — but bins must EXCEED the 512-window on both axes
+    # or windowed_matmul_histogram_2d early-returns the scatter path and the
+    # kernel is never exercised (the round-2 "tiny" case silently did
+    # that).  Then the full ARES screen serial AND batched (the batched
+    # case is the round-2 Mosaic-lowering crash: VERDICT r2 weak #1).
+    cases = (
+        ((640, 1024), (), 4096),
+        ((2448, 2040), (), 100_000),
+        ((2448, 2040), (8,), 100_000),
+    )
+    for bins, batch, n in cases:
+        kx, ky, kw = jax.random.split(
+            jax.random.fold_in(key, bins[0] + 31 * len(batch)), 3
+        )
+        shape = (*batch, n)
+        x = 0.5 + 0.01 * jax.random.normal(kx, shape)
+        y = 0.5 + 0.01 * jax.random.normal(ky, shape)
+        w = jax.random.uniform(kw, shape)
         t0 = time.perf_counter()
         windowed = jax.jit(
             lambda x, y, w: h.windowed_matmul_histogram_2d(
@@ -58,8 +77,11 @@ def check_histogram():
         )(x, y, w)
         diff = float(jnp.max(jnp.abs(windowed - scatter)))
         total = float(jnp.sum(scatter))
+        label = f"windowed_histogram_{bins[0]}x{bins[1]}" + (
+            f"_b{batch[0]}" if batch else ""
+        )
         _report(
-            f"windowed_histogram_{bins[0]}x{bins[1]}",
+            label,
             diff <= 1e-3 * max(total / (n or 1), 1e-6) + 1e-4,
             {"max_abs_diff": diff, "compile_s": round(compile_s, 1)},
         )

@@ -102,7 +102,14 @@ def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
     A^T (B * w) on the MXU.  bf16 one-hots are exact (0/1); f32 weights ride
     as bf16x3 parts (hi/mid/lo, jointly carrying the full 24-bit mantissa)
     with f32 accumulation — one part-pass per matmul, skipped down to a
-    single pass when the caller knows the weights are bf16-exact."""
+    single pass when the caller knows the weights are bf16-exact.
+
+    Grid is ``(batch, particle_tiles)``; inputs are 1-D particle tiles
+    (flattened over the batch) and the output block is one ``(1, win_x,
+    win_y)`` image per batch row — the batch rides the GRID, never a block
+    dim, which is what Mosaic's (8, 128) block tiling requires (vmapping
+    the pallas_call instead produced an illegal ``(Squeezed(),
+    Blocked(1024))`` block and failed to lower; VERDICT r2)."""
     from jax.experimental import pallas as pl
 
     w_refs, out_ref = rest[:n_parts], rest[-1]
@@ -115,7 +122,7 @@ def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
     A = (lx[:, None] == col_x).astype(jnp.bfloat16)
     B = (ly[:, None] == col_y).astype(jnp.bfloat16)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -127,23 +134,26 @@ def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
             Bw,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )[None]
     out_ref[...] = acc
 
 
 def _window_matmul_hist(lx, ly, weights, win_x, win_y, dtype, bf16_exact_weights):
-    """(win_x, win_y) histogram of in-window local indices via the Pallas
-    one-hot MXU kernel.  Out-of-window particles must carry lx == -1."""
+    """(B, win_x, win_y) histograms of in-window local indices via the Pallas
+    one-hot MXU kernel.  Inputs are ``(B, N)``; out-of-window particles must
+    carry ``lx == -1``.  The batch is folded into the pallas grid (see
+    :func:`_hist_kernel`)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N = lx.shape[0]
-    tile_n = min(HIST_TILE_N, N)
-    pad = (tile_n - N % tile_n) % tile_n
+    B, N = lx.shape
+    tile_n = min(HIST_TILE_N, _round_up(N, 128))
+    n_tiles = -(-N // tile_n)
+    pad = n_tiles * tile_n - N
     if pad:
-        lx = jnp.pad(lx, (0, pad), constant_values=-1)
-        ly = jnp.pad(ly, (0, pad), constant_values=-1)
-        weights = jnp.pad(weights, (0, pad))
+        lx = jnp.pad(lx, ((0, 0), (0, pad)), constant_values=-1)
+        ly = jnp.pad(ly, ((0, 0), (0, pad)), constant_values=-1)
+        weights = jnp.pad(weights, ((0, 0), (0, pad)))
     w32 = weights.astype(jnp.float32)
     if bf16_exact_weights:
         w_parts = [w32]
@@ -151,23 +161,32 @@ def _window_matmul_hist(lx, ly, weights, win_x, win_y, dtype, bf16_exact_weights
         w_parts = []
         residual = w32
         for _ in range(3):  # bf16x3: 3 x 8 mantissa bits cover f32's 24
-            part = residual.astype(jnp.bfloat16).astype(jnp.float32)
+            # reduce_precision, NOT astype(bf16).astype(f32): XLA:TPU elides
+            # the cast round-trip under jit (measured on device — part1
+            # came back bit-equal to w, parts 2-3 all zero, and the kernel's
+            # own bf16 cast then did one lossy rounding: 8.6e-4 relative
+            # error on the ARES screen read).  reduce_precision is the
+            # simplification-proof rounding primitive.
+            part = jax.lax.reduce_precision(residual, 8, 7)
             w_parts.append(part)
             residual = residual - part
 
+    # Flatten the batch so every input block stays 1-D (a layout Mosaic
+    # lowers); row b's tile i is flat block b * n_tiles + i.
+    flat = lambda a: a.reshape(B * n_tiles * tile_n)
     vec_spec = pl.BlockSpec(
-        (tile_n,), lambda i: (i,), memory_space=pltpu.VMEM
+        (tile_n,), lambda b, i: (b * n_tiles + i,), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (win_x, win_y), lambda i: (0, 0), memory_space=pltpu.VMEM
+        (1, win_x, win_y), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         partial(_hist_kernel, win_x, win_y, len(w_parts)),
-        grid=((N + pad) // tile_n,),
+        grid=(B, n_tiles),
         in_specs=[vec_spec] * (2 + len(w_parts)),
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((win_x, win_y), jnp.float32),
-    )(lx, ly, *w_parts)
+        out_shape=jax.ShapeDtypeStruct((B, win_x, win_y), jnp.float32),
+    )(flat(lx), flat(ly), *[flat(w) for w in w_parts])
     return out.astype(dtype)
 
 
@@ -242,30 +261,31 @@ def windowed_matmul_histogram_2d(
 
         def matmul_branch(args):
             lx, ly, w_b, ox, oy = args
+            n = lx.shape[-1]
+            # One batched pallas_call — batch folded into the kernel grid
+            # (vmapping the kernel produced Mosaic-illegal blocks; VERDICT
+            # r2).  Serial runs as B=1 of the same program.
+            wins = _window_matmul_hist(
+                lx.reshape(-1, n),
+                ly.reshape(-1, n),
+                w_b.reshape(-1, n),
+                win_x,
+                win_y,
+                w_b.dtype,
+                bf16_exact_weights,
+            )
+            # MXU-alignment rounding can push the window past the image
+            # edge on an axis it fully covers (origin 0 there) — crop
+            # before placing.  In-image indices never land in the
+            # cropped margin.
+            wins = wins[:, : min(win_x, nx), : min(win_y, ny)]
 
-            def one(lx1, ly1, w1, ox1, oy1):
-                win = _window_matmul_hist(
-                    lx1, ly1, w1, win_x, win_y, w_b.dtype, bf16_exact_weights
-                )
-                # MXU-alignment rounding can push the window past the image
-                # edge on an axis it fully covers (origin 0 there) — crop
-                # before placing.  In-image indices never land in the
-                # cropped margin.
-                win = win[: min(win_x, nx), : min(win_y, ny)]
+            def place(win, ox1, oy1):
                 full = jnp.zeros((nx, ny), dtype=w_b.dtype)
                 return jax.lax.dynamic_update_slice(full, win, (ox1, oy1))
 
-            if batch_shape:
-                n = lx.shape[-1]
-                out = jax.vmap(one)(
-                    lx.reshape(-1, n),
-                    ly.reshape(-1, n),
-                    w_b.reshape(-1, n),
-                    ox.reshape(-1),
-                    oy.reshape(-1),
-                )
-                return out.reshape(*batch_shape, nx, ny)
-            return one(lx, ly, w_b, ox, oy)
+            out = jax.vmap(place)(wins, ox.reshape(-1), oy.reshape(-1))
+            return out.reshape(*batch_shape, nx, ny)
 
         def scatter_branch(args):
             return weighted_histogram_2d(
