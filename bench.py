@@ -6,20 +6,24 @@ particle beam, an active screen — track + screen read.  The reference's bar
 is < 0.1 s per track on a CI CPU (PyTorch Cheetah), i.e. 10 tracks/s;
 ``vs_baseline`` is measured against that.
 
-Headline value: per-track throughput with B=8 settings batched per
-dispatch (the production operating mode; amortizes the ~1 ms per-call
-dispatch floor of remotely-attached chips).  The JSON line also carries
-the serial (B=1) flagship number and the settings-sweep north-star
-(vectorized ParameterBeam env-steps/s, BASELINE.md >= 1e6/chip target).
+Headline value: per-track throughput in the better dispatch mode (serial or
+B=8 settings batched per dispatch), chosen from the MEASURED numbers.  The
+JSON line also carries the settings-sweep north-star (vectorized
+ParameterBeam env-steps/s) and the full-fidelity 100k-ParticleBeam
+env-step rate (BASELINE.md >= 1e6 ParameterBeam env-steps/s/chip target).
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-     "serial_tracks_per_s": N, "batch_size": 8,
-     "sweep_env_steps_per_s": N, "backend": "tpu"|"cpu_fallback"|...}
+     "serial_tracks_per_s": N, "batched_tracks_per_s": N, "batch_size": 8,
+     "sweep_env_steps_per_s": N, "particle_env_steps_per_s": N,
+     "backend": "tpu"|"cpu_fallback"|..., "paths": {name: "ok"|error}}
 
-If the accelerator backend is unreachable (remote-TPU tunnel down), the
-bench falls back to a smaller, honestly-labeled CPU run ("backend":
-"cpu_fallback") rather than recording nothing.
+Each metric runs in its OWN killable subprocess: one crash (Mosaic
+lowering, tunnel wedge mid-compile) records ``null`` for that metric only
+and never discards the others (round 2 lost ALL its TPU numbers to a
+single batched-path crash; VERDICT r2 weak #4).  If the accelerator
+backend is unreachable outright, the bench falls back to a smaller,
+honestly-labeled CPU run ("backend": "cpu_fallback").
 
 Modes:
     python bench.py                   # run + print the JSON line
@@ -50,12 +54,13 @@ REGRESSION_TOLERANCE = 0.20
 # Workload sizes (module-level so the CPU smoke test can shrink them).
 FLAGSHIP_PARTICLES = 100_000
 SWEEP_BATCH = 100_000
+PARTICLE_ENV_BATCH = 32
 N_ITERS = 30
 
-#: Wall-clock budget for the accelerator measurement subprocess.  Remote
-#: compiles take 2-9 min each; three compiled programs plus timing fits
-#: comfortably — but a wedged tunnel mid-compile must not hang the bench.
-MEASURE_TIMEOUT_S = 2100.0
+#: Wall-clock budget per metric subprocess.  Remote compiles take 2-9 min;
+#: one compiled program plus timing fits comfortably — but a wedged tunnel
+#: mid-compile must not hang the bench.
+PER_METRIC_TIMEOUT_S = 900.0
 
 
 def _require_backend(timeout_s: float = 180.0, retries: int = 2) -> str:
@@ -96,44 +101,6 @@ def _require_backend(timeout_s: float = 180.0, retries: int = 2) -> str:
 
     jax.config.update("jax_platforms", "cpu")
     return "cpu_fallback"
-
-
-def _validate_windowed_histogram(timeout_s: float = 300.0) -> None:
-    """Compile the windowed MXU histogram kernel in a killable subprocess;
-    if Mosaic fails to lower it (or the compile wedges), force the proven
-    scatter path for this bench run instead of dying."""
-    probe = (
-        "import jax, jax.numpy as jnp;"
-        "from lynx_tpu.ops import histogram as h;"
-        "x = jnp.linspace(0.4, 0.6, 1024);"
-        "y = jnp.linspace(0.45, 0.55, 1024);"
-        "w = jnp.ones((1024,));"
-        "out = jax.jit(lambda x, y, w: h.windowed_matmul_histogram_2d("
-        "x, y, w, (0.0, 1.0), (0.0, 1.0), (2448, 2040),"
-        " window=(256, 1024)))(x, y, w);"
-        "out.block_until_ready()"
-    )
-    try:
-        subprocess.run(
-            [sys.executable, "-c", probe],
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as err:
-        from lynx_tpu.ops import histogram
-
-        histogram.SCREEN_MATMUL_PATH = False
-        detail = (
-            "compile timed out"
-            if isinstance(err, subprocess.TimeoutExpired)
-            else err.stderr.decode()[-300:]
-        )
-        print(
-            f"bench: windowed histogram kernel unavailable, using scatter"
-            f" path ({detail})",
-            file=sys.stderr,
-        )
 
 
 def _time_calls(fn, args, n_iters: int) -> float:
@@ -194,14 +161,58 @@ def _sweep_env_steps_per_s(batch: int = None) -> float:
     return batch / per_call
 
 
+def _particle_env_steps_per_s(batch: int = None) -> float:
+    """Full-fidelity env-step rate: B settings x one shared 100k-particle
+    beam tracked through the EA with sample-moment observation per second —
+    the BASELINE.md north-star workload at ParticleBeam fidelity."""
+    import jax
+
+    import lynx_tpu as lt
+    from lynx_tpu.envs import make_env
+
+    batch = PARTICLE_ENV_BATCH if batch is None else batch
+    env = make_env()
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=FLAGSHIP_PARTICLES,
+        sigma_x=jax.numpy.array([1.75e-4]),
+        sigma_y=jax.numpy.array([1.75e-4]),
+        energy=jax.numpy.array([1.073e8]),
+        key=jax.random.PRNGKey(3),
+    )
+
+    @jax.jit
+    def step(magnets, beam):
+        return env.batched_particle_beam_parameters(magnets, beam)
+
+    magnets = jax.random.uniform(
+        jax.random.PRNGKey(4), (batch, env.num_actions), minval=-0.5, maxval=0.5
+    )
+    per_call = _time_calls(step, (magnets, beam), n_iters=max(N_ITERS // 2, 1))
+    return batch / per_call
+
+
+#: metric name -> zero-arg measurement returning a float.
+METRICS = {
+    "serial": lambda: _flagship_throughput(batch=1),
+    "batched": lambda: _flagship_throughput(batch=8),
+    "sweep": _sweep_env_steps_per_s,
+    "particle_env": _particle_env_steps_per_s,
+}
+
+
 def check_regression(
     current: dict, baseline: dict, tolerance: float = REGRESSION_TOLERANCE
 ) -> list[str]:
     """Return a list of regression messages (empty = pass): any throughput
     key that dropped more than ``tolerance`` vs the stored baseline."""
     failures = []
-    for key in ("value", "serial_tracks_per_s", "sweep_env_steps_per_s"):
-        if key in baseline and key in current and baseline[key]:
+    for key in (
+        "value",
+        "serial_tracks_per_s",
+        "sweep_env_steps_per_s",
+        "particle_env_steps_per_s",
+    ):
+        if baseline.get(key) and current.get(key):
             ratio = current[key] / baseline[key]
             if ratio < 1.0 - tolerance:
                 failures.append(
@@ -211,71 +222,70 @@ def check_regression(
     return failures
 
 
-def _measure(backend: str) -> dict:
-    """Run the three measurements on the CURRENT backend; assemble the
-    result dict."""
-    batch = 8
-    serial = _flagship_throughput(batch=1)
-    batched = _flagship_throughput(batch=batch)
-    sweep = _sweep_env_steps_per_s()
-
-    # Headline = the better dispatch mode.  On accelerators batched wins
-    # (it amortizes the per-call dispatch floor); on the CPU fallback the
-    # cache-resident serial run can win instead.
-    headline = max(batched, serial)
+def _assemble(values: dict, paths: dict, backend: str) -> dict:
+    """Build the one-line JSON result from per-metric values (None = that
+    path failed; see ``paths`` for the error)."""
+    serial = values.get("serial")
+    batched = values.get("batched")
+    # Headline = the better MEASURED dispatch mode (VERDICT r2 #9: the mode
+    # must reflect measured reality, not an assumed accelerator story).
+    candidates = [(v, m) for v, m in ((batched, "batched"), (serial, "serial")) if v]
+    headline, mode = max(candidates) if candidates else (None, "none")
     return {
         "metric": "ares_ea_100k_track_and_screen_read_throughput",
-        "value": round(headline, 3),
+        "value": round(headline, 3) if headline else None,
         "unit": "tracks/s",
-        "vs_baseline": round(headline / BASELINE_TRACKS_PER_S, 3),
-        "headline_mode": "batched" if batched >= serial else "serial",
-        "serial_tracks_per_s": round(serial, 3),
-        "batched_tracks_per_s": round(batched, 3),
-        "batch_size": batch,
-        "sweep_env_steps_per_s": round(sweep, 1),
+        "vs_baseline": round(headline / BASELINE_TRACKS_PER_S, 3)
+        if headline
+        else None,
+        "headline_mode": mode,
+        "serial_tracks_per_s": round(serial, 3) if serial else None,
+        "batched_tracks_per_s": round(batched, 3) if batched else None,
+        "batch_size": 8,
+        "sweep_env_steps_per_s": round(values["sweep"], 1)
+        if values.get("sweep")
+        else None,
+        "particle_env_steps_per_s": round(values["particle_env"], 1)
+        if values.get("particle_env")
+        else None,
+        "particle_env_batch": PARTICLE_ENV_BATCH,
         "backend": backend,
+        "paths": paths,
     }
 
 
-def _measure_in_subprocess() -> dict | None:
-    """Run the accelerator measurement in a killable subprocess: the remote
-    tunnel can wedge MID-compile (observed), which would otherwise hang the
-    whole bench past any deadline.  Returns the parsed result, or ``None``
-    to fall back to CPU."""
+def _measure_metric_in_subprocess(name: str) -> tuple[float | None, str]:
+    """Run ONE metric in a killable subprocess; returns (value, status)."""
     try:
         proc = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()), "--measure-only"],
-            timeout=MEASURE_TIMEOUT_S,
+            [
+                sys.executable,
+                str(Path(__file__).resolve()),
+                "--measure-only",
+                name,
+            ],
+            timeout=PER_METRIC_TIMEOUT_S,
             capture_output=True,
             text=True,
         )
     except subprocess.TimeoutExpired:
-        print(
-            "bench: accelerator measurement timed out (tunnel wedge?);"
-            " falling back to CPU",
-            file=sys.stderr,
-        )
-        return None
-    sys.stderr.write(proc.stderr)
+        return None, "timeout"
     if proc.returncode != 0:
-        print(
-            f"bench: accelerator measurement failed (rc {proc.returncode});"
-            " falling back to CPU",
-            file=sys.stderr,
-        )
-        return None
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        return None, f"rc={proc.returncode}: {' | '.join(tail[-3:])[-400:]}"
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
-        except json.JSONDecodeError:
+            return float(json.loads(line)["value"]), "ok"
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError):
             continue
-    return None
+    return None, "no JSON output"
 
 
 def _cpu_fallback_sizes() -> None:
-    global N_ITERS, SWEEP_BATCH
+    global N_ITERS, SWEEP_BATCH, PARTICLE_ENV_BATCH
     N_ITERS = 5
     SWEEP_BATCH = 10_000
+    PARTICLE_ENV_BATCH = 4
 
 
 def main() -> None:
@@ -284,30 +294,33 @@ def main() -> None:
     parser.add_argument("--update-baseline", action="store_true")
     parser.add_argument(
         "--measure-only",
-        action="store_true",
-        help="internal: measure on the current backend and print the JSON",
+        metavar="METRIC",
+        choices=sorted(METRICS),
+        help="internal: measure ONE metric on the current backend and print"
+        ' {"value": N}',
     )
     args = parser.parse_args()
 
     if args.measure_only:
-        import jax
-
-        backend = jax.default_backend()
-        if backend == "tpu":
-            _validate_windowed_histogram()
-        print(json.dumps(_measure(backend)))
+        print(json.dumps({"value": METRICS[args.measure_only]()}))
         return
 
     backend = _require_backend()
-    result = None
+    values: dict = {}
+    paths: dict = {}
     if backend != "cpu_fallback":
-        result = _measure_in_subprocess()
-        if result is None:
-            backend = "cpu_fallback"
+        for name in METRICS:
+            values[name], paths[name] = _measure_metric_in_subprocess(name)
+            if paths[name] != "ok":
+                print(
+                    f"bench: metric {name!r} failed ({paths[name]});"
+                    " recording null for it",
+                    file=sys.stderr,
+                )
+        if not any(values.values()):
+            backend = "cpu_fallback"  # every path died: tunnel, not kernels
 
-    if result is None:
-        # The windowed-kernel probe subprocess would hang on the dead tunnel,
-        # and screen_histogram_2d auto-routes to scatter off-TPU anyway.
+    if not any(values.values()):
         _cpu_fallback_sizes()
         import jax
 
@@ -315,7 +328,12 @@ def main() -> None:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass
-        result = _measure("cpu_fallback")
+        for name, fn in METRICS.items():
+            try:
+                values[name], paths[name] = fn(), "ok"
+            except Exception as error:  # pragma: no cover - depends on host
+                values[name], paths[name] = None, repr(error)[:400]
+    result = _assemble(values, paths, backend)
     print(json.dumps(result))
 
     if args.update_baseline:

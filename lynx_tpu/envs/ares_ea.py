@@ -146,16 +146,9 @@ class AresEATransverseTuning:
             ]
         )
 
-    def batched_beam_parameters(
-        self, magnets: Array, params: EnvParams
-    ) -> Array:
-        """Vectorized :meth:`beam_parameters` for ``(B, 5)`` magnet settings
-        and batched ``EnvParams`` (leaves with a leading ``(B,)`` axis).
-
-        Uses natively batched tracking — unlike ``vmap`` over
-        :meth:`beam_parameters` (whose per-instance shapes hide the batch),
-        this engages the large-batch table/Pallas fast paths.
-        """
+    def _batched_tuned_segment(self, magnets: Array) -> "lt.Segment":
+        """The EA segment with the 5 tuned magnets set from ``(B, 5)``
+        normalized settings (batched along the leading axis)."""
         B = magnets.shape[0]
         settings = magnets * MAGNET_LIMITS
         elements = []
@@ -184,7 +177,19 @@ class AresEATransverseTuning:
                     length=b(element.length), angle=settings[:, 4]
                 )
             elements.append(element)
-        tuned = lt.Segment(elements, name=self._segment.name)
+        return lt.Segment(elements, name=self._segment.name)
+
+    def batched_beam_parameters(
+        self, magnets: Array, params: EnvParams
+    ) -> Array:
+        """Vectorized :meth:`beam_parameters` for ``(B, 5)`` magnet settings
+        and batched ``EnvParams`` (leaves with a leading ``(B,)`` axis).
+
+        Uses natively batched tracking — unlike ``vmap`` over
+        :meth:`beam_parameters` (whose per-instance shapes hide the batch),
+        this engages the large-batch table/Pallas fast paths.
+        """
+        tuned = self._batched_tuned_segment(magnets)
 
         beam = lt.ParameterBeam.from_parameters(
             mu_x=params.incoming_mu[:, 0],
@@ -203,6 +208,26 @@ class AresEATransverseTuning:
         beam = lt.ParameterBeam(
             beam._mu, beam._cov, energy=jnp.full((1,), self.energy)
         )
+        outgoing, _ = track(tuned, beam)
+        return jnp.stack(
+            [outgoing.mu_x, outgoing.sigma_x, outgoing.mu_y, outgoing.sigma_y],
+            axis=-1,
+        )
+
+    def batched_particle_beam_parameters(
+        self, magnets: Array, beam: "lt.ParticleBeam"
+    ) -> Array:
+        """Full-fidelity observation: track a macro-particle beam through the
+        tuned EA and return the ``(B, 4)`` sample-moment beam parameters
+        ``(mu_x, sigma_x, mu_y, sigma_y)`` at the screen position.
+
+        This is the BASELINE.md north-star workload (env-steps/s with a
+        100k-``ParticleBeam``): the reference's equivalent is a broadcast
+        ``Segment.track`` over a sampled beam (``tests/test_vectorized.py``'s
+        (3, 100_000)-settings sweep).  The incoming beam is shared across the
+        batch (it broadcasts against the ``(B,)``-batched magnet settings).
+        """
+        tuned = self._batched_tuned_segment(magnets)
         outgoing, _ = track(tuned, beam)
         return jnp.stack(
             [outgoing.mu_x, outgoing.sigma_x, outgoing.mu_y, outgoing.sigma_y],

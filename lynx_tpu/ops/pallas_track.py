@@ -35,10 +35,12 @@ Array = jax.Array
 TILE = 2048
 
 
-def _pick_tile(batch: int) -> int:
+def _pick_tile() -> int:
     """Fixed tile: measured throughput-equal to larger tiles (210 vs 205
     M env-steps/s at batch 1e6), and long lattices' live tables must fit the
-    16 MB VMEM (a 13-element kernel OOMs at tile 16384)."""
+    16 MB VMEM (a 13-element kernel OOMs at tile 16384).  No batch argument:
+    the sweep only engages at flat >= PALLAS_SWEEP_THRESHOLD (16384), so a
+    batch-adaptive tile has nothing to adapt to."""
     return TILE
 
 
@@ -518,7 +520,7 @@ def _fused_moment_sweep_impl(
     :return: ``(mu', cov')`` with the same layouts as the inputs.
     """
     B = energy.shape[0]
-    tile = _pick_tile(B)
+    tile = _pick_tile()
     dtype = mu.dtype
     # One dtype end-to-end (ref writes require exact dtype match).
     energy = energy.astype(dtype)

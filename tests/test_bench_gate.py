@@ -77,12 +77,12 @@ def test_bench_main_end_to_end_smoke(monkeypatch, capsys, tmp_path):
 
     monkeypatch.setattr(bench, "FLAGSHIP_PARTICLES", 500)
     monkeypatch.setattr(bench, "SWEEP_BATCH", 64)
+    monkeypatch.setattr(bench, "PARTICLE_ENV_BATCH", 2)
     monkeypatch.setattr(bench, "N_ITERS", 2)
     monkeypatch.setattr(bench, "BASELINE_FILE", tmp_path / "baseline.json")
     # Dead-accelerator scenario: probe says fallback, sizes stay tiny.
     monkeypatch.setattr(bench, "_require_backend", lambda *a, **k: "cpu_fallback")
     monkeypatch.setattr(bench, "_cpu_fallback_sizes", lambda: None)
-    monkeypatch.setattr(bench, "_validate_windowed_histogram", lambda *a, **k: None)
     monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--update-baseline"])
 
     bench.main()
@@ -94,29 +94,57 @@ def test_bench_main_end_to_end_smoke(monkeypatch, capsys, tmp_path):
     assert result["serial_tracks_per_s"] > 0
     assert result["batched_tracks_per_s"] > 0
     assert result["sweep_env_steps_per_s"] > 0
+    assert result["particle_env_steps_per_s"] > 0
     assert result["headline_mode"] in ("batched", "serial")
+    assert all(status == "ok" for status in result["paths"].values())
     assert result["backend"] == "cpu_fallback"
     assert (tmp_path / "baseline.json").exists()
 
 
-def test_measurement_subprocess_timeout_falls_back(monkeypatch):
-    """A tunnel wedge MID-measurement (subprocess timeout) must return None
-    so main() falls back to the CPU path instead of hanging."""
+def test_metric_subprocess_timeout_is_isolated(monkeypatch):
+    """A tunnel wedge MID-measurement (subprocess timeout) must null ONLY
+    that metric, not hang or poison the others (VERDICT r2 weak #4)."""
     import subprocess
 
     def timeout_run(*args, **kwargs):
         raise subprocess.TimeoutExpired(cmd="measure", timeout=1)
 
     monkeypatch.setattr(bench.subprocess, "run", timeout_run)
-    assert bench._measure_in_subprocess() is None
+    value, status = bench._measure_metric_in_subprocess("serial")
+    assert value is None and status == "timeout"
 
 
-def test_measurement_subprocess_parses_last_json_line(monkeypatch):
+def test_metric_subprocess_parses_last_json_line(monkeypatch):
     class Proc:
         returncode = 0
-        stdout = "warning noise\n{\"value\": 42.0, \"backend\": \"tpu\"}\n"
+        stdout = "warning noise\n{\"value\": 42.0}\n"
         stderr = ""
 
     monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Proc())
-    result = bench._measure_in_subprocess()
-    assert result == {"value": 42.0, "backend": "tpu"}
+    assert bench._measure_metric_in_subprocess("serial") == (42.0, "ok")
+
+
+def test_metric_subprocess_crash_records_error(monkeypatch):
+    class Proc:
+        returncode = 1
+        stdout = ""
+        stderr = "jaxlib.mosaic: unsupported block shape"
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Proc())
+    value, status = bench._measure_metric_in_subprocess("batched")
+    assert value is None and "rc=1" in status and "mosaic" in status
+
+
+def test_assemble_survives_partial_failure():
+    """One dead path must not discard the measured ones."""
+    values = {"serial": 100.0, "batched": None, "sweep": 5e6,
+              "particle_env": None}
+    paths = {"serial": "ok", "batched": "rc=1: boom", "sweep": "ok",
+             "particle_env": "timeout"}
+    result = bench._assemble(values, paths, "tpu")
+    assert result["value"] == 100.0
+    assert result["headline_mode"] == "serial"
+    assert result["batched_tracks_per_s"] is None
+    assert result["sweep_env_steps_per_s"] == 5e6
+    assert result["backend"] == "tpu"
+    assert result["paths"]["batched"].startswith("rc=1")
