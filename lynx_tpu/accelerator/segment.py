@@ -62,10 +62,8 @@ def _fused_flush(run: list[Element], beam: Beam):
     if not use_fused:
         return None
     if not isinstance(beam, ParameterBeam):
-        # NOTE: a fused per-setting particle kernel exists
-        # (ops/pallas_track.fused_particle_sweep) but measured SLOWER than
-        # XLA's batched matmul for (B, N, 7) pushes (grid-step overhead with
-        # a scalar map build per setting); it is not auto-routed.
+        # ParticleBeam routing happens in _flush_run via
+        # _route_particle_sweep (hardware-adjudicated N threshold).
         return None
     from lynx_tpu.accelerator.fused import element_map_builder, plan_run
 
@@ -95,6 +93,37 @@ def _fused_flush(run: list[Element], beam: Beam):
         out_cov.reshape(*batch_shape, 7, 7),
         beam.energy,
         total_charge=beam.total_charge,
+    )
+
+
+#: Per-setting particle count BELOW which the fused Pallas particle sweep
+#: beats the dense batched matmul on TPU.  On-device A/B (TPU v5 lite,
+#: ``benchmarks/particle_ab.py``, 2026-08-19): at (B=100, N=10k) pallas
+#: wins 723M vs 612M pushes/s forward and 711M vs 351M with gradients; at
+#: (B=1000, N=1k) 719M vs 668M; at (B=100, N=30k) and (B=32, N=100k) the
+#: matmul wins (1.62G/1.85G vs 1.27G/1.23G) — large N amortizes the dense
+#: push and the MXU stretches its legs.  16384 splits the measured
+#: crossover.
+PARTICLE_SWEEP_N_THRESHOLD = 16384
+
+#: Routing override for the fused Pallas particle sweep: ``None`` = auto
+#: (TPU backend, B >= 16, N < PARTICLE_SWEEP_N_THRESHOLD), ``True``/
+#: ``False`` force it on/off (CI interpret-mode coverage, A/B benches).
+PARTICLE_SWEEP_PATH = None
+
+
+def _route_particle_sweep(beam: Beam) -> bool:
+    """Auto-routing decision for the fused Pallas particle sweep (the
+    hardware-adjudicated default; see ``PARTICLE_SWEEP_N_THRESHOLD``)."""
+    from lynx_tpu.particles import ParticleBeam
+
+    if not isinstance(beam, ParticleBeam) or beam.particles.ndim != 3:
+        return False
+    if PARTICLE_SWEEP_PATH is not None:
+        return PARTICLE_SWEEP_PATH
+    return (
+        jax.default_backend() == "tpu"
+        and beam.particles.shape[-2] < PARTICLE_SWEEP_N_THRESHOLD
     )
 
 
@@ -446,6 +475,10 @@ class Segment(Element):
         fused = _fused_flush(run, beam)
         if fused is not None:
             return fused
+        if _route_particle_sweep(beam):
+            fused = _fused_particle_flush(run, beam)
+            if fused is not None:
+                return fused
         energy = jnp.asarray(beam.energy)
         _, flat_batch = _flat_batch_of(run, energy)
         if flat_batch >= BATCH_LAST_THRESHOLD:

@@ -171,23 +171,47 @@ def _window_matmul_hist(lx, ly, weights, win_x, win_y, dtype, bf16_exact_weights
             w_parts.append(part)
             residual = residual - part
 
-    # Flatten the batch so every input block stays 1-D (a layout Mosaic
-    # lowers); row b's tile i is flat block b * n_tiles + i.
-    flat = lambda a: a.reshape(B * n_tiles * tile_n)
-    vec_spec = pl.BlockSpec(
-        (tile_n,), lambda b, i: (b * n_tiles + i,), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (1, win_x, win_y), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        partial(_hist_kernel, win_x, win_y, len(w_parts)),
-        grid=(B, n_tiles),
-        in_specs=[vec_spec] * (2 + len(w_parts)),
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, win_x, win_y), jnp.float32),
-    )(flat(lx), flat(ly), *[flat(w) for w in w_parts])
-    return out.astype(dtype)
+    n_parts = len(w_parts)
+
+    @jax.custom_batching.custom_vmap
+    def call(lx, ly, *w_parts):
+        """(B, N)-shaped operands -> (B, win_x, win_y) histograms."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        B = lx.shape[0]
+        # Flatten the batch so every input block stays 1-D (a layout Mosaic
+        # lowers); row b's tile i is flat block b * n_tiles + i.
+        flat = lambda a: a.reshape(B * n_tiles * tile_n)
+        vec_spec = pl.BlockSpec(
+            (tile_n,), lambda b, i: (b * n_tiles + i,), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, win_x, win_y), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            partial(_hist_kernel, win_x, win_y, n_parts),
+            grid=(B, n_tiles),
+            in_specs=[vec_spec] * (2 + n_parts),
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, win_x, win_y), jnp.float32),
+        )(flat(lx), flat(ly), *[flat(w) for w in w_parts])
+
+    @call.def_vmap
+    def _call_vmap(axis_size, in_batched, *args):
+        # vmap folds into the kernel's grid batch axis instead of adding a
+        # block dim to the pallas_call (which Mosaic rejects — the round-2
+        # lowering crash).  Covers user-level vmap over screen reads AND
+        # vmap of the custom_vjp forward.
+        ops = [
+            a if b else jnp.broadcast_to(a, (axis_size, *a.shape))
+            for a, b in zip(args, in_batched)
+        ]
+        stacked = [a.reshape(axis_size * a.shape[1], *a.shape[2:]) for a in ops]
+        out = call(*stacked)
+        return out.reshape(axis_size, -1, win_x, win_y), True
+
+    return call(lx, ly, *w_parts).astype(dtype)
 
 
 def windowed_matmul_histogram_2d(

@@ -602,3 +602,31 @@ def test_tpu_routed_track_graph_on_cpu(interpreted_pallas, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(plain), rtol=1e-4, atol=1e-9
     )
+
+
+def test_particle_sweep_auto_route_graph_on_cpu(interpreted_pallas, monkeypatch):
+    """PARTICLE_SWEEP_PATH=True + interpret-mode pallas drives the
+    hardware-adjudicated auto-routed particle-sweep graph through
+    ``Segment.track`` on CPU CI, matching the dense-matmul routing."""
+    from lynx_tpu.accelerator import segment as segment_mod
+    from lynx_tpu.models import ares_ea_segment
+
+    B, N = 24, 500
+    segment = ares_ea_segment().broadcast((B,))
+    segment.AREABSCR1.is_active = False
+    segment.AREAMQZM1.k1 = jnp.linspace(-5.0, 5.0, B)
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=N,
+        sigma_x=jnp.full((B,), 1.75e-4),
+        energy=jnp.full((B,), 1.073e8),
+        key=jax.random.PRNGKey(11),
+    )
+
+    monkeypatch.setattr(segment_mod, "PARTICLE_SWEEP_PATH", True)
+    fused = jax.jit(lambda b: segment.track(b).particles)(beam)
+    monkeypatch.setattr(segment_mod, "PARTICLE_SWEEP_PATH", False)
+    plain = jax.jit(lambda b: segment.track(b).particles)(beam)
+
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), rtol=1e-5, atol=1e-9
+    )

@@ -222,3 +222,46 @@ def test_screen_reading_routes_through_windowed_path(interpreted_pallas, monkeyp
     assert ref.shape == (1020, 1224)
     assert ref.sum() == pytest.approx(2_000.0)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_user_level_vmap_folds_into_grid(interpreted_pallas):
+    """jax.vmap over the windowed histogram must fold into the kernel's
+    grid batch (custom_vmap rule) — vmapping the pallas_call directly adds
+    a Mosaic-illegal block dim (the round-2 on-device lowering crash)."""
+    B, n = 5, 2_000
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    xs, ys = [], []
+    for i in range(B):
+        x, y = _spot(keys[i], n, 15.0, (300.0 + 10 * i, 250.0), BINS, RANGES)
+        xs.append(x)
+        ys.append(y)
+    x = jnp.stack(xs)
+    y = jnp.stack(ys)
+    w = jnp.ones((B, n))
+
+    vmapped = jax.vmap(
+        lambda x, y, w: windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    )(x, y, w)
+    batched = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    np.testing.assert_allclose(np.asarray(vmapped), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(ref), atol=1e-6)
+
+
+def test_vmap_of_grad_through_windowed(interpreted_pallas):
+    """vmap(grad(image loss)) — the fwd pallas_call inside the custom_vjp
+    gets vmapped too; the custom_vmap rule must cover it."""
+    B, n = 3, 1_000
+    key = jax.random.PRNGKey(4)
+    x, y = _spot(key, B * n, 12.0, (280.0, 240.0), BINS, RANGES)
+    x = x.reshape(B, n)
+    y = y.reshape(B, n)
+    w = jnp.ones((B, n))
+
+    def loss(x, y, w):
+        img = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+        return jnp.sum(img**2)
+
+    g = jax.vmap(jax.grad(loss, argnums=2))(x, y, w)
+    assert g.shape == (B, n)
+    assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
