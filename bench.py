@@ -55,7 +55,11 @@ REGRESSION_TOLERANCE = 0.20
 FLAGSHIP_PARTICLES = 100_000
 SWEEP_BATCH = 100_000
 PARTICLE_ENV_BATCH = 32
-N_ITERS = 30
+# Delta-K pair for the loop-carried measurement harness (see
+# lynx_tpu.profiling.marginal_seconds_per_iter: block_until_ready LIES on
+# the remote-TPU tunnel — only a chained-iteration value fetch measures
+# real device time).
+K_SMALL, K_LARGE = 16, 256
 
 #: Wall-clock budget per metric subprocess.  Remote compiles take 2-9 min;
 #: one compiled program plus timing fits comfortably — but a wedged tunnel
@@ -103,37 +107,39 @@ def _require_backend(timeout_s: float = 180.0, retries: int = 2) -> str:
     return "cpu_fallback"
 
 
-def _time_calls(fn, args, n_iters: int) -> float:
-    """Steady-state seconds per call (compile + warmup excluded)."""
-    import jax
-
-    jax.block_until_ready(fn(*args))  # compile
-    jax.block_until_ready(fn(*args))  # warm
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / n_iters
-
-
 def _flagship_throughput(batch: int) -> float:
     """Tracks/s for the flagship (track + full screen read) at ``batch``
-    settings per dispatch."""
-    import jax
+    settings per dispatch: true device time via the loop-carried delta-K
+    harness (every iteration's beam is perturbed by a numerically-invisible
+    epsilon derived from the previous screen image, so iterations can be
+    neither hoisted nor overlapped)."""
+    import jax.numpy as jnp
+
+    import lynx_tpu as lt
     from __graft_entry__ import _flagship
     from lynx_tpu.functional import track
+    from lynx_tpu.profiling import marginal_seconds_per_iter
 
     batch_shape = () if batch == 1 else (batch,)
     segment, beam = _flagship(
         num_particles=FLAGSHIP_PARTICLES, batch_shape=batch_shape
     )
 
-    @jax.jit
-    def forward(segment, beam):
-        _, diagnostics = track(segment, beam)
-        return diagnostics["AREABSCR1"]
+    def step(carry):
+        particles, eps = carry
+        b = lt.ParticleBeam(
+            particles + eps,
+            beam.energy,
+            particle_charges=beam.particle_charges,
+            survival=beam.survival,
+        )
+        _, diagnostics = track(segment, b)
+        image = diagnostics["AREABSCR1"]
+        return particles, jnp.sum(image) * jnp.float32(1e-30)
 
-    per_call = _time_calls(forward, (segment, beam), n_iters=N_ITERS)
+    per_call = marginal_seconds_per_iter(
+        step, (beam.particles, jnp.float32(0.0)), K_SMALL, K_LARGE
+    )
     return batch / per_call
 
 
@@ -145,19 +151,23 @@ def _sweep_env_steps_per_s(batch: int = None) -> float:
 
     from lynx_tpu.envs import make_env
     from lynx_tpu.envs.ares_ea import default_params
+    from lynx_tpu.profiling import marginal_seconds_per_iter
 
     batch = SWEEP_BATCH if batch is None else batch
     env = make_env()
     params = jax.vmap(default_params)(
         jax.random.split(jax.random.PRNGKey(1), batch)
     )
-
-    @jax.jit
-    def sweep(magnets, params):
-        return env.batched_beam_parameters(magnets, params)
-
     magnets = jnp.zeros((batch, env.num_actions))
-    per_call = _time_calls(sweep, (magnets, params), n_iters=max(N_ITERS // 2, 1))
+
+    def step(carry):
+        m, eps = carry
+        out = env.batched_beam_parameters(m + eps, params)
+        return m, jnp.sum(out) * jnp.float32(1e-30)
+
+    per_call = marginal_seconds_per_iter(
+        step, (magnets, jnp.float32(0.0)), K_SMALL, K_LARGE
+    )
     return batch / per_call
 
 
@@ -166,28 +176,33 @@ def _particle_env_steps_per_s(batch: int = None) -> float:
     beam tracked through the EA with sample-moment observation per second —
     the BASELINE.md north-star workload at ParticleBeam fidelity."""
     import jax
+    import jax.numpy as jnp
 
     import lynx_tpu as lt
     from lynx_tpu.envs import make_env
+    from lynx_tpu.profiling import marginal_seconds_per_iter
 
     batch = PARTICLE_ENV_BATCH if batch is None else batch
     env = make_env()
     beam = lt.ParticleBeam.from_parameters(
         num_particles=FLAGSHIP_PARTICLES,
-        sigma_x=jax.numpy.array([1.75e-4]),
-        sigma_y=jax.numpy.array([1.75e-4]),
-        energy=jax.numpy.array([1.073e8]),
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_y=jnp.array([1.75e-4]),
+        energy=jnp.array([1.073e8]),
         key=jax.random.PRNGKey(3),
     )
-
-    @jax.jit
-    def step(magnets, beam):
-        return env.batched_particle_beam_parameters(magnets, beam)
-
     magnets = jax.random.uniform(
         jax.random.PRNGKey(4), (batch, env.num_actions), minval=-0.5, maxval=0.5
     )
-    per_call = _time_calls(step, (magnets, beam), n_iters=max(N_ITERS // 2, 1))
+
+    def step(carry):
+        m, eps = carry
+        out = env.batched_particle_beam_parameters(m + eps, beam)
+        return m, jnp.sum(out) * jnp.float32(1e-30)
+
+    per_call = marginal_seconds_per_iter(
+        step, (magnets, jnp.float32(0.0)), K_SMALL, K_LARGE
+    )
     return batch / per_call
 
 
@@ -282,8 +297,8 @@ def _measure_metric_in_subprocess(name: str) -> tuple[float | None, str]:
 
 
 def _cpu_fallback_sizes() -> None:
-    global N_ITERS, SWEEP_BATCH, PARTICLE_ENV_BATCH
-    N_ITERS = 5
+    global K_SMALL, K_LARGE, SWEEP_BATCH, PARTICLE_ENV_BATCH
+    K_SMALL, K_LARGE = 1, 5
     SWEEP_BATCH = 10_000
     PARTICLE_ENV_BATCH = 4
 

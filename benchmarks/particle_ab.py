@@ -57,14 +57,46 @@ def _beam(batch, num_particles):
     )
 
 
-def _time(fn, *args, iters):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+def _time_fwd(track_fn, k1, k2, beam, iters=None):
+    """True device seconds per forward track via the loop-carried delta-K
+    harness (block_until_ready is dispatch-ack only on the remote tunnel;
+    see lynx_tpu.profiling).  The PARTICLES are the loop carry — each
+    iteration tracks the previous iteration's (clipped) output, so the
+    full (B, N, 7) result must be materialized every step and XLA cannot
+    algebraically collapse the push (a scalar-sum consumer lets the
+    simplifier rewrite sum(P @ R) = sum(P) @ R and skip the workload:
+    measured 10 TB/s "throughput" before this fix)."""
+    import lynx_tpu as lt
+    from lynx_tpu.profiling import marginal_seconds_per_iter
+
+    def step(particles):
+        b = lt.ParticleBeam(
+            particles, beam.energy,
+            particle_charges=beam.particle_charges, survival=beam.survival,
+        )
+        out = track_fn(k1, k2, b).particles
+        # clip: nonlinear (blocks reduce-of-linear rewrites), keeps repeated
+        # tracking bounded, and fuses into the push epilogue (free).
+        return jnp.clip(out, -10.0, 10.0)
+
+    return marginal_seconds_per_iter(step, beam.particles, 16, 256)
+
+
+def _time_bwd(loss_fn, k1, k2, beam, iters=None):
+    """Seconds per forward+backward call.  The loss (summed sigma_x) is
+    quadratic in the particles, so the reverse pass cannot be collapsed by
+    the algebraic simplifier; the k1 epsilon chain serializes iterations."""
+    from lynx_tpu.profiling import marginal_seconds_per_iter
+
+    grad = jax.grad(loss_fn, argnums=(0, 1))
+
+    def step(carry):
+        k, eps = carry
+        g1, g2 = grad(k + eps, k2, beam)
+        total = (jnp.sum(g1) + jnp.sum(g2)).astype(jnp.float32)
+        return k, total * jnp.float32(1e-30)
+
+    return marginal_seconds_per_iter(step, (k1, jnp.float32(0)), 16, 256)
 
 
 def main(batch, num_particles, iters):
@@ -104,13 +136,16 @@ def main(batch, num_particles, iters):
 
     for name, (track_fn, loss_fn, opts) in variants.items():
         element_mod.PARTICLE_ROWS_PATH = bool(opts.get("rows"))
+        # Pin the adjudicated auto-route OFF for the XLA variants — at
+        # small N the default would send segment.track through the very
+        # pallas kernel we are A/B-ing against.
+        segment_mod.PARTICLE_SWEEP_PATH = False
         try:
-            fwd = jax.jit(lambda k1, k2, b: track_fn(k1, k2, b).particles)
-            t_fwd = _time(fwd, k1, k2, beam, iters=iters)
-            grad = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
-            t_bwd = _time(grad, k1, k2, beam, iters=iters)
+            t_fwd = _time_fwd(track_fn, k1, k2, beam)
+            t_bwd = _time_bwd(loss_fn, k1, k2, beam)
         finally:
             element_mod.PARTICLE_ROWS_PATH = False
+            segment_mod.PARTICLE_SWEEP_PATH = None
         for mode, t in (("fwd", t_fwd), ("fwd+bwd", t_bwd)):
             print(
                 json.dumps(

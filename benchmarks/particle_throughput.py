@@ -49,16 +49,23 @@ def main(batch: int, num_particles: int, iters: int) -> None:
         )
 
     beam = make(jax.random.PRNGKey(0))
-    track = jax.jit(lambda b: segment.track(b).sigma_x.sum())
-    jax.block_until_ready(track(beam))
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = track(beam)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    # Loop-carried delta-K harness (block_until_ready is dispatch-ack only
+    # on the remote tunnel; see lynx_tpu.profiling).
+    from lynx_tpu.profiling import marginal_seconds_per_iter
 
-    pushes_per_s = batch * num_particles * iters / elapsed
+    def step(carry):
+        p, eps = carry
+        b = lt.ParticleBeam(
+            p + eps, beam.energy,
+            particle_charges=beam.particle_charges, survival=beam.survival,
+        )
+        return p, segment.track(b).sigma_x.sum().astype(jnp.float32) * 1e-30
+
+    per_iter = marginal_seconds_per_iter(
+        step, (beam.particles, jnp.float32(0)), 16, 256
+    )
+    pushes_per_s = batch * num_particles / per_iter
     print(
         json.dumps(
             {

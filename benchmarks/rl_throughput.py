@@ -57,15 +57,19 @@ def main(num_envs: int, rollout: int, warmup: int, measure: int) -> None:
         env, env_params, optimizer, rollout
     )
 
+    from lynx_tpu.profiling import _fetch
+
     carry = (policy, opt_state, obs, states, key)
     for _ in range(warmup):
         *carry, _, _ = step_fn(*carry)
-    jax.block_until_ready(carry[0])
+    _fetch(carry[2])  # value fetch: block_until_ready is dispatch-ack only
 
     start = time.perf_counter()
     for _ in range(measure):
         *carry, loss, _ = step_fn(*carry)
-    jax.block_until_ready(loss)
+    # The PPO carry chains data-dependently through every step, so this
+    # single value fetch forces completion of the whole measured span.
+    _fetch(loss)
     elapsed = time.perf_counter() - start
 
     steps_per_s = num_envs * rollout * measure / elapsed

@@ -87,6 +87,45 @@ def check_histogram():
         )
 
 
+def check_histogram_transforms():
+    """The kernel x transform matrix for the histogram: user-level vmap
+    (must fold into the grid via the custom_vmap rule) and vmap-of-grad
+    (vmaps the custom_vjp forward's pallas_call too)."""
+    from lynx_tpu.ops import histogram as h
+
+    bins = (2448, 2040)
+    n = 50_000
+    kx, ky = jax.random.split(jax.random.PRNGKey(5))
+    x = 0.5 + 0.01 * jax.random.normal(kx, (4, n))
+    y = 0.5 + 0.01 * jax.random.normal(ky, (4, n))
+    w = jnp.ones((4, n))
+
+    vmapped = jax.jit(
+        jax.vmap(
+            lambda x, y, w: h.windowed_matmul_histogram_2d(
+                x, y, w, (0.0, 1.0), (0.0, 1.0), bins
+            )
+        )
+    )(x, y, w)
+    scatter = jax.jit(
+        lambda x, y, w: h.weighted_histogram_2d(
+            x, y, w, (0.0, 1.0), (0.0, 1.0), bins
+        )
+    )(x, y, w)
+    diff = float(jnp.max(jnp.abs(vmapped - scatter)))
+    _report("windowed_histogram_vmap", diff <= 1e-4, {"max_abs_diff": diff})
+
+    def loss(x, y, w):
+        img = h.windowed_matmul_histogram_2d(
+            x, y, w, (0.0, 1.0), (0.0, 1.0), bins
+        )
+        return jnp.sum(img**2)
+
+    g = jax.jit(jax.vmap(jax.grad(loss, argnums=2)))(x, y, w)
+    ok = bool(jnp.all(jnp.isfinite(g))) and bool(jnp.any(g != 0))
+    _report("windowed_histogram_vmap_grad", ok, {"shape": list(g.shape)})
+
+
 def check_fused_backward():
     import lynx_tpu as lt
     from lynx_tpu.accelerator.fused import element_map_builder
@@ -154,12 +193,45 @@ def check_particle_sweep():
     fused = jax.jit(
         lambda b: segment_mod._fused_particle_flush(flat, b).particles
     )(beam)
-    default = jax.jit(lambda b: segment.track(b).particles)(beam)
+    # Pin the auto-route OFF for the reference branch — at this (B, N) the
+    # adjudicated default would route track() through the very kernel
+    # under test.
+    segment_mod.PARTICLE_SWEEP_PATH = False
+    try:
+        default = jax.jit(lambda b: segment.track(b).particles)(beam)
+    finally:
+        segment_mod.PARTICLE_SWEEP_PATH = None
     diff = float(jnp.max(jnp.abs(fused - default)))
     scale = float(jnp.max(jnp.abs(default)))
     _report(
         "fused_particle_sweep", diff <= 1e-4 * max(scale, 1e-3),
         {"max_abs_diff": diff},
+    )
+
+    # Gradient parity for the same sweep (the transform matrix's
+    # particle-sweep x grad cell).
+    def loss(k1, use_pallas):
+        seg = segment
+        seg.AREAMQZM1.k1 = k1
+        flat = seg.flattened().elements
+        if use_pallas:
+            out = segment_mod._fused_particle_flush(flat, beam)
+        else:
+            out = seg.track(beam)
+        return jnp.sum(out.sigma_x)
+
+    k1 = jnp.linspace(-5.0, 5.0, B)
+    g_pallas = jax.jit(jax.grad(lambda k: loss(k, True)))(k1)
+    segment_mod.PARTICLE_SWEEP_PATH = False
+    try:
+        g_ref = jax.jit(jax.grad(lambda k: loss(k, False)))(k1)
+    finally:
+        segment_mod.PARTICLE_SWEEP_PATH = None
+    diff = float(jnp.max(jnp.abs(g_pallas - g_ref)))
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    _report(
+        "fused_particle_sweep_grad", diff <= 1e-3 * max(scale, 1e-9),
+        {"max_abs_diff": diff, "grad_scale": scale},
     )
 
 
@@ -219,12 +291,17 @@ def check_hoisted_plan():
     scale = float(jnp.max(jnp.abs(d_cov)))
 
     def timed(fn):
-        jax.block_until_ready(fn(beam._mu, beam._cov))
-        t0 = time.perf_counter()
-        for _ in range(20):
-            out = fn(beam._mu, beam._cov)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / 20
+        # Loop-carried delta-K harness: block_until_ready is dispatch-ack
+        # only on the remote tunnel (see lynx_tpu.profiling).
+        from lynx_tpu.profiling import marginal_seconds_per_iter
+
+        def step(carry):
+            mu, eps = carry
+            out_mu, out_cov = fn(mu + eps, beam._cov)
+            scalar = (jnp.sum(out_mu) + jnp.sum(out_cov)).astype(jnp.float32)
+            return mu, scalar * jnp.float32(1e-30)
+
+        return marginal_seconds_per_iter(step, (beam._mu, jnp.float32(0)), 16, 128)
 
     t_hoisted = timed(hoisted_fn)
     t_dyn = timed(dyn_fn)
@@ -242,6 +319,7 @@ def check_hoisted_plan():
 if __name__ == "__main__":
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
     check_histogram()
+    check_histogram_transforms()
     check_fused_backward()
     check_hoisted_plan()
     check_particle_sweep()

@@ -80,14 +80,18 @@ def main(steps_per_call: int, batch: int, measure_calls: int) -> None:
     tuner = make_tuner(optimizer, loss_fn)
     opt_state = optimizer.init(magnets0)
 
-    # Scanned loop: one dispatch per steps_per_call steps.
+    from lynx_tpu.profiling import _fetch
+
+    # Scanned loop: one dispatch per steps_per_call steps.  The (m, s)
+    # carry chains calls data-dependently; the closing value fetch forces
+    # completion (block_until_ready is dispatch-ack only on the tunnel).
     m, s, losses = tuner(magnets0, opt_state, steps_per_call, params)
-    jax.block_until_ready(losses)  # compile + warm
+    _fetch(losses)  # compile + warm
     start = time.perf_counter()
     m, s = magnets0, opt_state
     for _ in range(measure_calls):
         m, s, losses = tuner(m, s, steps_per_call, params)
-    jax.block_until_ready(losses)
+    _fetch((m, losses))
     scanned = steps_per_call * measure_calls / (time.perf_counter() - start)
 
     # Reference-style per-step dispatch.
@@ -99,12 +103,12 @@ def main(steps_per_call: int, batch: int, measure_calls: int) -> None:
 
     m, s = magnets0, opt_state
     m, s, loss = step(m, s, params)
-    jax.block_until_ready(loss)  # compile + warm
+    _fetch(loss)  # compile + warm
     n_steps = min(steps_per_call * measure_calls, 300)
     start = time.perf_counter()
     for _ in range(n_steps):
         m, s, loss = step(m, s, params)
-    jax.block_until_ready(loss)
+    _fetch((m, loss))
     per_step = n_steps / (time.perf_counter() - start)
 
     print(

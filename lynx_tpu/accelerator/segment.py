@@ -98,12 +98,13 @@ def _fused_flush(run: list[Element], beam: Beam):
 
 #: Per-setting particle count BELOW which the fused Pallas particle sweep
 #: beats the dense batched matmul on TPU.  On-device A/B (TPU v5 lite,
-#: ``benchmarks/particle_ab.py``, 2026-08-19): at (B=100, N=10k) pallas
-#: wins 723M vs 612M pushes/s forward and 711M vs 351M with gradients; at
-#: (B=1000, N=1k) 719M vs 668M; at (B=100, N=30k) and (B=32, N=100k) the
-#: matmul wins (1.62G/1.85G vs 1.27G/1.23G) — large N amortizes the dense
-#: push and the MXU stretches its legs.  16384 splits the measured
-#: crossover.
+#: ``benchmarks/particle_ab.py``, 2026-08-19, loop-carried delta-K harness
+#: — see ``lynx_tpu.profiling``): at (B=100, N=10k) pallas wins 20.7G vs
+#: 0.98G pushes/s forward (the working set stays VMEM-resident across the
+#: sweep; the dense path round-trips every intermediate through HBM) and
+#: 3.50G vs 2.09G with gradients; at (B=32, N=100k) the dense matmul wins
+#: 5.26G vs 3.50G forward, 4.78G vs 2.97G with gradients — large N
+#: amortizes the dense push.  16384 splits the measured crossover.
 PARTICLE_SWEEP_N_THRESHOLD = 16384
 
 #: Routing override for the fused Pallas particle sweep: ``None`` = auto
