@@ -320,6 +320,11 @@ class Screen(Element):
             name=self.name,
         )
         new_screen.length = jnp.broadcast_to(self.length, shape)
+        # Tuning attributes must survive broadcasting: dropping the window
+        # silently sent every BATCHED flagship screen read down the scatter
+        # fallback (the default square 512 window does not contain the ARES
+        # spot's 800 px y-span) — a 4.7x slowdown found on device.
+        new_screen.histogram_window = self.histogram_window
         return new_screen
 
     def split(self, resolution: float) -> list[Element]:
