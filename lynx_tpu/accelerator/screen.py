@@ -36,6 +36,13 @@ def _as_int_tuple(value) -> Tuple[int, ...]:
     return tuple(int(v) for v in np.asarray(value).ravel().tolist())
 
 
+#: lynx apertures produce exact 0/1 survival masks, so screen readings
+#: default to the int8 MXU COUNT kernel on TPU (1.5x the weighted path).
+#: Set False if you assign FRACTIONAL survival weights to beams that hit
+#: an active screen — the reading then takes the exact bf16x3 path.
+SCREEN_BINARY_SURVIVAL = True
+
+
 def screen_reading_particle(
     beam: ParticleBeam,
     resolution: Tuple[int, int],
@@ -61,9 +68,11 @@ def screen_reading_particle(
         x_range=(-half_w, half_w),
         y_range=(-half_h, half_h),
         bins=(w_bins, h_bins),
-        # All-ones weights (no aperture upstream) are exact in bf16, which
-        # halves the MXU work of the windowed TPU histogram path.
-        bf16_exact_weights=beam.survival is None,
+        # No survival channel -> all-ones weights; survival channels are
+        # 0/1 aperture masks unless the user opted out — either way the
+        # TPU path runs the weightless int8 count kernel.
+        bf16_exact_weights=True,
+        binary_weights=beam.survival is None or SCREEN_BINARY_SURVIVAL,
         window=histogram_window,
     )  # (..., W, H)
     image = jnp.swapaxes(hist, -2, -1)  # (..., H, W)

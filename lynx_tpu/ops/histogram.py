@@ -102,7 +102,11 @@ def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
     A^T (B * w) on the MXU.  bf16 one-hots are exact (0/1); f32 weights ride
     as bf16x3 parts (hi/mid/lo, jointly carrying the full 24-bit mantissa)
     with f32 accumulation — one part-pass per matmul, skipped down to a
-    single pass when the caller knows the weights are bf16-exact.
+    single pass when the caller knows the weights are bf16-exact, and down
+    to an int8 x int8 -> int32 COUNT matmul with no weight stream at all
+    when the weights are 0/1 (``n_parts == 0``): masked/dead particles
+    already carry ``lx == -1`` and match no one-hot column, and the int8
+    MXU runs 1.5x the bf16 rate (measured on device).
 
     Grid is ``(batch, particle_tiles)``; inputs are 1-D particle tiles
     (flattened over the batch) and the output block is one ``(1, win_x,
@@ -116,17 +120,26 @@ def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
     lx = lx_ref[...]
     ly = ly_ref[...]
     tile_n = lx.shape[0]
+    binary = n_parts == 0
+    one_hot_dtype = jnp.int8 if binary else jnp.bfloat16
 
     col_x = jax.lax.broadcasted_iota(jnp.int32, (tile_n, win_x), 1)
     col_y = jax.lax.broadcasted_iota(jnp.int32, (tile_n, win_y), 1)
-    A = (lx[:, None] == col_x).astype(jnp.bfloat16)
-    B = (ly[:, None] == col_y).astype(jnp.bfloat16)
+    A = (lx[:, None] == col_x).astype(one_hot_dtype)
+    B = (ly[:, None] == col_y).astype(one_hot_dtype)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     acc = out_ref[...]
+    if binary:
+        acc = acc + jax.lax.dot_general(
+            A,
+            B,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )[None]
     for w_ref in w_refs:
         Bw = B * w_ref[...][:, None].astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
@@ -138,7 +151,9 @@ def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
     out_ref[...] = acc
 
 
-def _window_matmul_hist(lx, ly, weights, win_x, win_y, dtype, bf16_exact_weights):
+def _window_matmul_hist(
+    lx, ly, weights, win_x, win_y, dtype, bf16_exact_weights, binary_weights
+):
     """(B, win_x, win_y) histograms of in-window local indices via the Pallas
     one-hot MXU kernel.  Inputs are ``(B, N)``; out-of-window particles must
     carry ``lx == -1``.  The batch is folded into the pallas grid (see
@@ -155,7 +170,13 @@ def _window_matmul_hist(lx, ly, weights, win_x, win_y, dtype, bf16_exact_weights
         ly = jnp.pad(ly, ((0, 0), (0, pad)), constant_values=-1)
         weights = jnp.pad(weights, ((0, 0), (0, pad)))
     w32 = weights.astype(jnp.float32)
-    if bf16_exact_weights:
+    if binary_weights:
+        # 0/1 weights: dead particles already carry lx == -1 (the caller
+        # masks on `live`, which includes weight != 0), so the histogram is
+        # a pure COUNT of in-window one-hot matches — no weight stream, and
+        # the kernel runs int8 x int8 -> int32 on the MXU (1.5x bf16).
+        w_parts = []
+    elif bf16_exact_weights:
         w_parts = [w32]
     else:
         w_parts = []
@@ -189,13 +210,15 @@ def _window_matmul_hist(lx, ly, weights, win_x, win_y, dtype, bf16_exact_weights
         out_spec = pl.BlockSpec(
             (1, win_x, win_y), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        return pl.pallas_call(
+        acc_dtype = jnp.int32 if n_parts == 0 else jnp.float32
+        out = pl.pallas_call(
             partial(_hist_kernel, win_x, win_y, n_parts),
             grid=(B, n_tiles),
             in_specs=[vec_spec] * (2 + n_parts),
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((B, win_x, win_y), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, win_x, win_y), acc_dtype),
         )(flat(lx), flat(ly), *[flat(w) for w in w_parts])
+        return out.astype(jnp.float32)
 
     @call.def_vmap
     def _call_vmap(axis_size, in_batched, *args):
@@ -223,6 +246,7 @@ def windowed_matmul_histogram_2d(
     bins: Tuple[int, int],
     window=WINDOW,
     bf16_exact_weights: bool = False,
+    binary_weights: bool = False,
 ) -> Array:
     """Drop-in replacement for :func:`weighted_histogram_2d` (same
     semantics) that routes through the MXU one-hot kernel when every live
@@ -237,9 +261,13 @@ def windowed_matmul_histogram_2d(
         in y).  Match it to the spot's aspect ratio; only the product
         drives the FLOP cost.
     :param bf16_exact_weights: promise that every weight is exactly
-        representable in bfloat16 (e.g. 0/1 survival masks), which halves
-        the kernel's matmul work.  Results are wrong if the promise is
-        broken — callers must know their weights.
+        representable in bfloat16, which halves the kernel's matmul work.
+        Results are wrong if the promise is broken — callers must know
+        their weights.
+    :param binary_weights: stronger promise that every weight is exactly
+        0 or 1 (survival masks, unweighted counts): the kernel drops the
+        weight stream entirely and counts one-hot matches in int8/int32 on
+        the MXU — 1.5x the bf16 rate (measured on TPU v5 lite).
     """
     nx, ny = int(bins[0]), int(bins[1])
     window_x, window_y = (
@@ -297,6 +325,7 @@ def windowed_matmul_histogram_2d(
                 win_y,
                 w_b.dtype,
                 bf16_exact_weights,
+                binary_weights,
             )
             # MXU-alignment rounding can push the window past the image
             # edge on an axis it fully covers (origin 0 there) — crop
@@ -371,6 +400,7 @@ def screen_histogram_2d(
     bins: Tuple[int, int],
     bf16_exact_weights: bool = False,
     window=None,
+    binary_weights: bool = False,
 ) -> Array:
     """The screen-reading histogram: windowed MXU kernel on TPU (exact, with
     a scatter fallback for oversize spots), plain scatter elsewhere."""
@@ -382,6 +412,7 @@ def screen_histogram_2d(
             x, y, weights, x_range, y_range, bins,
             window=WINDOW if window is None else window,
             bf16_exact_weights=bf16_exact_weights,
+            binary_weights=binary_weights,
         )
     return weighted_histogram_2d(x, y, weights, x_range, y_range, bins)
 

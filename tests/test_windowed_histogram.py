@@ -265,3 +265,18 @@ def test_vmap_of_grad_through_windowed(interpreted_pallas):
     g = jax.vmap(jax.grad(loss, argnums=2))(x, y, w)
     assert g.shape == (B, n)
     assert bool(jnp.any(g != 0)) and bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_binary_weights_count_kernel(interpreted_pallas):
+    """binary_weights drops the weight stream (int8 count kernel): exact
+    counts for 0/1 survival masks, matching the scatter path."""
+    x, y = _spot(jax.random.PRNGKey(6), 4_000, 18.0, (310.0, 260.0), BINS, RANGES)
+    w = (jax.random.uniform(jax.random.PRNGKey(7), (4_000,)) > 0.3).astype(
+        jnp.float32
+    )
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(
+        x, y, w, *RANGES, BINS, binary_weights=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert float(out.sum()) == pytest.approx(float(w.sum()))
