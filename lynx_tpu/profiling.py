@@ -37,8 +37,6 @@ def benchmark(fn, *args, iters: int = 30, warmup: int = 2) -> float:
     result to the host (safe on async-dispatch backends; includes the
     per-call dispatch/fetch overhead — use
     :func:`marginal_seconds_per_iter` for device-compute time)."""
-    import numpy as np
-
     for _ in range(warmup):
         out = fn(*args)
     _fetch(out)
