@@ -165,8 +165,11 @@ def _sweep_env_steps_per_s(batch: int = None) -> float:
         out = env.batched_beam_parameters(m + eps, params)
         return m, jnp.sum(out) * jnp.float32(1e-30)
 
+    # The sweep iterates in ~0.1-0.2 ms — 4x the default K so the marginal
+    # term dominates the tunnel's +-3 ms latency noise (observed 2x spread
+    # at K=256).
     per_call = marginal_seconds_per_iter(
-        step, (magnets, jnp.float32(0.0)), K_SMALL, K_LARGE
+        step, (magnets, jnp.float32(0.0)), K_SMALL, min(4 * K_LARGE, 1024)
     )
     return batch / per_call
 
@@ -201,7 +204,7 @@ def _particle_env_steps_per_s(batch: int = None) -> float:
         return m, jnp.sum(out) * jnp.float32(1e-30)
 
     per_call = marginal_seconds_per_iter(
-        step, (magnets, jnp.float32(0.0)), K_SMALL, K_LARGE
+        step, (magnets, jnp.float32(0.0)), K_SMALL, min(2 * K_LARGE, 512)
     )
     return batch / per_call
 

@@ -301,17 +301,23 @@ def check_hoisted_plan():
             scalar = (jnp.sum(out_mu) + jnp.sum(out_cov)).astype(jnp.float32)
             return mu, scalar * jnp.float32(1e-30)
 
-        return marginal_seconds_per_iter(step, (beam._mu, jnp.float32(0)), 16, 128)
+        # ~60 us/iter needs a large K so the marginal term dominates the
+        # tunnel's latency noise under contention.
+        return marginal_seconds_per_iter(step, (beam._mu, jnp.float32(0)), 16, 512)
 
     t_hoisted = timed(hoisted_fn)
     t_dyn = timed(dyn_fn)
+    # A marginal estimate at the 1e-12 floor means the delta collapsed
+    # into tunnel latency noise (contended chip) — report nulls rather
+    # than a fantasy speedup.
+    noisy = t_hoisted < 1e-6 or t_dyn < 1e-6
     _report(
         "hoisted_plan_sweep", diff <= 1e-4 * max(scale, 1e-12),
         {
             "max_abs_diff": diff,
-            "hoisted_ms": round(t_hoisted * 1e3, 3),
-            "all_dyn_ms": round(t_dyn * 1e3, 3),
-            "speedup": round(t_dyn / t_hoisted, 2),
+            "hoisted_ms": None if noisy else round(t_hoisted * 1e3, 3),
+            "all_dyn_ms": None if noisy else round(t_dyn * 1e3, 3),
+            "speedup": None if noisy else round(t_dyn / t_hoisted, 2),
         },
     )
 

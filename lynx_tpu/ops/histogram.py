@@ -93,8 +93,11 @@ def weighted_histogram_2d(
 #: but NOT a square 512 window).  Spots larger than the window take the
 #: exact scatter fallback.
 WINDOW = 512
-#: Particles per kernel grid step.
-HIST_TILE_N = 1024
+#: Particles per kernel grid step.  Processed as two interleaved 1024-
+#: particle half-tiles: the second half's one-hot build (VPU) overlaps the
+#: first half's matmul (MXU) in Mosaic's schedule — measured 0.232 vs
+#: 0.277 ms on the flagship count histogram (TPU v5 lite).
+HIST_TILE_N = 2048
 
 
 def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
@@ -117,37 +120,49 @@ def _hist_kernel(win_x, win_y, n_parts, lx_ref, ly_ref, *rest):
     from jax.experimental import pallas as pl
 
     w_refs, out_ref = rest[:n_parts], rest[-1]
-    lx = lx_ref[...]
-    ly = ly_ref[...]
-    tile_n = lx.shape[0]
+    tile_n = lx_ref.shape[0]
     binary = n_parts == 0
     one_hot_dtype = jnp.int8 if binary else jnp.bfloat16
-
-    col_x = jax.lax.broadcasted_iota(jnp.int32, (tile_n, win_x), 1)
-    col_y = jax.lax.broadcasted_iota(jnp.int32, (tile_n, win_y), 1)
-    A = (lx[:, None] == col_x).astype(one_hot_dtype)
-    B = (ly[:, None] == col_y).astype(one_hot_dtype)
+    # Two interleaved half-tiles when the tile allows (see HIST_TILE_N).
+    halves = 2 if tile_n % 2048 == 0 else 1
+    chunk = tile_n // halves
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    dots = []
+    for k in range(halves):
+        sl = slice(k * chunk, (k + 1) * chunk)
+        lx = lx_ref[sl]
+        ly = ly_ref[sl]
+        col_x = jax.lax.broadcasted_iota(jnp.int32, (chunk, win_x), 1)
+        col_y = jax.lax.broadcasted_iota(jnp.int32, (chunk, win_y), 1)
+        A = (lx[:, None] == col_x).astype(one_hot_dtype)
+        B = (ly[:, None] == col_y).astype(one_hot_dtype)
+        if binary:
+            dots.append(
+                jax.lax.dot_general(
+                    A,
+                    B,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            )
+        for w_ref in w_refs:
+            Bw = B * w_ref[sl][:, None].astype(jnp.bfloat16)
+            dots.append(
+                jax.lax.dot_general(
+                    A,
+                    Bw,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+
     acc = out_ref[...]
-    if binary:
-        acc = acc + jax.lax.dot_general(
-            A,
-            B,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )[None]
-    for w_ref in w_refs:
-        Bw = B * w_ref[...][:, None].astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            A,
-            Bw,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[None]
+    for d in dots:
+        acc = acc + d[None]
     out_ref[...] = acc
 
 
