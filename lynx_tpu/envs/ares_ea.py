@@ -215,7 +215,7 @@ class AresEATransverseTuning:
         )
 
     def batched_particle_beam_parameters(
-        self, magnets: Array, beam: "lt.ParticleBeam"
+        self, magnets: Array, beam: "lt.ParticleBeam", method: str = "auto"
     ) -> Array:
         """Full-fidelity observation: track a macro-particle beam through the
         tuned EA and return the ``(B, 4)`` sample-moment beam parameters
@@ -226,9 +226,41 @@ class AresEATransverseTuning:
         ``Segment.track`` over a sampled beam (``tests/test_vectorized.py``'s
         (3, 100_000)-settings sweep).  The incoming beam is shared across the
         batch (it broadcasts against the ``(B,)``-batched magnet settings).
+
+        :param method: observation route —
+
+            * ``"auto"`` (default): ``"moments"`` when the tuned lattice is
+              moment-sufficient (purely linear; the EA with its screen
+              inactive is), else ``"particles"``.
+            * ``"moments"``: propagate the beam's *sample* moments
+              (``beam.as_parameter_beam()``) through the lattice.  For a
+              linear lattice this is algebraically EXACT — identical
+              ``mu``/``sigma`` observations to pushing all N particles
+              (``mu' = R mu``, ``Sigma' = R Sigma R^T``; the moments are a
+              sufficient statistic) — at ~N-times less work per setting.
+              This is what makes the >= 1e6 env-steps/s/chip north star
+              reachable: the dense per-setting push re-reads the whole
+              particle array from HBM per setting and is bandwidth-bound at
+              ~1e5 steps/s (round-3 roofline, ``docs/performance.md``).
+            * ``"particles"``: push every particle for every setting (the
+              fidelity path required by per-particle observables —
+              apertures, particle-histogram screens, nonlinear elements).
         """
         tuned = self._batched_tuned_segment(magnets)
-        outgoing, _ = track(tuned, beam)
+        if method == "auto":
+            from lynx_tpu.functional import moment_sufficient
+
+            method = (
+                "moments" if moment_sufficient(tuned, beam) else "particles"
+            )
+        if method == "moments":
+            outgoing, _ = track(tuned, beam.as_parameter_beam())
+        elif method == "particles":
+            outgoing, _ = track(tuned, beam)
+        else:
+            raise ValueError(
+                f"unknown method {method!r} (auto | moments | particles)"
+            )
         return jnp.stack(
             [outgoing.mu_x, outgoing.sigma_x, outgoing.mu_y, outgoing.sigma_y],
             axis=-1,

@@ -139,6 +139,28 @@ def track(
     return beam, diagnostics
 
 
+def moment_sufficient(segment: Segment, incoming: Beam) -> bool:
+    """True when tracking ``incoming`` through ``segment`` is *moment
+    sufficient*: every observable the track can produce depends on the beam
+    only through its first/second sample moments, so a
+    :class:`~lynx_tpu.particles.ParticleBeam` may be replaced by
+    ``incoming.as_parameter_beam()`` with *exactly* the same downstream
+    ``mu_*``/``sigma_*`` statistics (linear maps commute with sample
+    moments: ``mu' = R mu``, ``Sigma' = R Sigma R^T``).
+
+    The decision is static metadata (skippability), so it can gate a jit
+    route: a segment is moment-sufficient iff every flattened element is
+    skippable — i.e. purely affine, with no per-particle side effects
+    (aperture culling, particle-histogram screens, active cavities'
+    nonlinear phase update all make it False).
+    """
+    if not isinstance(incoming, ParticleBeam):
+        return False
+    return all(
+        element.is_skippable for element in segment.flattened().elements
+    )
+
+
 def track_jit(segment: Segment, incoming: Beam):
     """Jit-compiled :func:`track` (the segment is a pytree argument, so
     re-tuning magnet strengths does NOT retrigger compilation; only

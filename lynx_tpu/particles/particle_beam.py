@@ -632,6 +632,59 @@ class ParticleBeam(Beam):
     def sigma_yyp(self) -> Array:
         return _weighted_cov(self.ys, self.yps, self.survival)
 
+    def as_parameter_beam(self) -> "ParameterBeam":
+        """The beam's survival-weighted *sample* moments as a
+        :class:`ParameterBeam` — the moment-sufficiency fast path.
+
+        For any purely linear (affine 7x7) lattice section, tracked sample
+        moments obey exactly the same algebra as Gaussian moments:
+        ``mu' = R mu`` and ``Sigma' = R Sigma R^T`` (the affine offsets
+        cancel in the centered second moments).  Tracking the returned
+        ``ParameterBeam`` therefore yields *ParticleBeam-exact* downstream
+        ``mu_*``/``sigma_*`` statistics at moment cost — one O(N) moment
+        reduction up front instead of an O(N) matmul per setting (the 7-8x
+        HBM-bound gap identified in the round-3 roofline,
+        ``docs/performance.md``).
+
+        Conventions: the covariance carries the same Bessel (ddof=1)
+        scaling as :attr:`sigma_x` etc., so downstream ``sigma_*`` match
+        the particle path's values exactly.  (The reference's mixed-moment
+        properties ``sigma_xxp``/``sigma_yyp`` use ddof=0 — reference
+        ``particle_beam.py:824-836`` — so those differ by the constant
+        factor ``(sum w - 1) / sum w``; the env observations use only
+        means and stds.)  Invalid whenever per-particle information is
+        consumed downstream (apertures, particle-histogram screens, active
+        cavities' nonlinear phase update) — see
+        ``lynx_tpu.functional.moment_sufficient``.
+        """
+        from lynx_tpu.particles.parameter_beam import ParameterBeam
+
+        particles = self.particles
+        weights = self.survival
+        if weights is None:
+            total = jnp.full(
+                particles.shape[:-2], self.num_particles, particles.dtype
+            )
+            mu = particles.mean(axis=-2)
+            weighted = particles
+        else:
+            total_raw = weights.sum(axis=-1)
+            total = jnp.where(total_raw == 0, 1.0, total_raw)
+            weighted = particles * weights[..., None]
+            mu = weighted.sum(axis=-2) / total[..., None]
+        centered = particles - mu[..., None, :]
+        denom = jnp.maximum(total - 1.0, 1.0)
+        if weights is None:
+            cov = jnp.einsum("...ni,...nj->...ij", centered, centered)
+        else:
+            cov = jnp.einsum(
+                "...ni,...nj->...ij", centered * weights[..., None], centered
+            )
+        cov = cov / denom[..., None, None]
+        return ParameterBeam(
+            mu, cov, energy=self.energy, total_charge=self.total_charge
+        )
+
     def broadcast(self, shape: tuple) -> "ParticleBeam":
         """Tile the beam to a larger batch shape (reference
         ``particle_beam.py:838-843``)."""
