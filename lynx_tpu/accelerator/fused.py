@@ -222,6 +222,80 @@ _IDENTITY_LAYOUT = [
 ]
 
 
+def particle_moment_plan(
+    elements: list, energy: Array, vec: Callable[[Array], Array]
+):
+    """Build the plan for the settings-amortized particle moment sweep
+    (``ops/pallas_track.fused_particle_moment_sweep``): maximal runs of
+    affine elements compose into ``("map", layout)`` entries whose dynamic
+    cells are ``(B,)`` per-setting scalars, and ACTIVE apertures — the one
+    per-particle, per-setting operation no moment algebra can absorb —
+    become ``("aperture", x_idx, y_idx, shape)`` entries.
+
+    Returns ``(entries, scalars)`` or ``None`` when the element list needs
+    anything else per-particle (active screens/cavities): those runs route
+    through the general tracking paths instead.
+    """
+    from lynx_tpu.ops.pallas_track import _split_table
+
+    vec_energy = vec(jnp.asarray(energy))
+    # Compose in the energy's dtype: element parameters default to f32
+    # (reference parity), and the dense path promotes them inside each
+    # map builder the same way — keeping f64 sweeps bit-consistent with
+    # f64 dense tracking.
+    dtype = vec_energy.dtype
+    entries: List[tuple] = []
+    scalars: List[Array] = []
+    group: List[Builder] = []
+
+    def flush_group() -> None:
+        if not group:
+            return
+        total = None
+        for params, fn in group:
+            T = fn([vec(p).astype(dtype) for p in params], vec_energy)
+            total = T if total is None else tbl.compose(T, total)
+        group.clear()
+        layout, cells = _split_table(total)
+        if not cells and layout == _IDENTITY_LAYOUT:
+            return
+        offset = len(scalars)
+        scalars.extend(cells)
+        entries.append(
+            (
+                "map",
+                tuple(
+                    tuple(
+                        c if isinstance(c, float) else c + offset
+                        for c in row
+                    )
+                    for row in layout
+                ),
+            )
+        )
+
+    for element in elements:
+        if element.is_skippable:
+            builder = element_map_builder(element)
+            if builder is None:
+                return None
+            group.append(builder)
+        elif isinstance(element, Aperture):
+            flush_group()
+            x_idx = len(scalars)
+            scalars.append(vec(element.x_max).astype(dtype))
+            y_idx = len(scalars)
+            scalars.append(vec(element.y_max).astype(dtype))
+            entries.append(("aperture", x_idx, y_idx, element.shape))
+        elif isinstance(element, BPM):
+            # Active BPMs read moments but leave the beam untouched.
+            continue
+        else:
+            return None
+    flush_group()
+    return tuple(entries), tuple(scalars)
+
+
 def plan_run(
     builders: List[Builder], energy: Array, vec: Callable[[Array], Array]
 ) -> List[tuple]:

@@ -255,14 +255,70 @@ class AresEATransverseTuning:
             )
         if method == "moments":
             outgoing, _ = track(tuned, beam.as_parameter_beam())
+        elif method == "kernel":
+            return self._kernel_particle_beam_parameters(magnets, tuned, beam)
         elif method == "particles":
             outgoing, _ = track(tuned, beam)
         else:
             raise ValueError(
-                f"unknown method {method!r} (auto | moments | particles)"
+                f"unknown method {method!r}"
+                " (auto | moments | kernel | particles)"
             )
         return jnp.stack(
             [outgoing.mu_x, outgoing.sigma_x, outgoing.mu_y, outgoing.sigma_y],
+            axis=-1,
+        )
+
+    def _kernel_particle_beam_parameters(
+        self, magnets: Array, tuned: "lt.Segment", beam: "lt.ParticleBeam"
+    ) -> Array:
+        """Particle-fidelity observation through the settings-amortized
+        VMEM-resident moment sweep (``ops/pallas_track.
+        fused_particle_moment_sweep``): the shared cloud is loaded on-chip
+        once and the B settings loop over it — per-setting HBM traffic
+        drops to the composed map cells and the 36 moment sums.  Supports
+        interleaved active apertures (per-particle survival that no moment
+        algebra can express)."""
+        from lynx_tpu.accelerator.fused import particle_moment_plan
+        from lynx_tpu.ops.pallas_track import (
+            fused_particle_moment_sweep,
+            particle_moments_from_sums,
+        )
+
+        B = magnets.shape[0]
+        plan = particle_moment_plan(
+            tuned.flattened().elements,
+            jnp.asarray(self.energy),
+            lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+        )
+        if plan is None:
+            raise ValueError(
+                "kernel method requires an affine-plus-apertures lattice"
+            )
+        particles = beam.particles
+        if particles.ndim == 3 and particles.shape[0] == 1:
+            particles = particles[0]
+        if particles.ndim != 2:
+            raise ValueError(
+                "kernel method requires one shared (unbatched) beam"
+            )
+        weights = (
+            jnp.ones(particles.shape[:1], particles.dtype)
+            if beam.survival is None
+            else jnp.reshape(beam.survival, particles.shape[:1])
+        )
+        entries, scalars = plan
+        s1, s2, w_sum = fused_particle_moment_sweep(
+            entries, scalars, particles, weights
+        )
+        mu, cov = particle_moments_from_sums(s1, s2, w_sum)
+        return jnp.stack(
+            [
+                mu[:, 0],
+                jnp.sqrt(cov[:, 0, 0]),
+                mu[:, 2],
+                jnp.sqrt(cov[:, 2, 2]),
+            ],
             axis=-1,
         )
 

@@ -567,6 +567,303 @@ def _fused_moment_sweep_impl(
 PARTICLE_TILE = 2048
 
 
+# --------------------------------------------------------------------------
+# Settings-amortized particle MOMENT sweep (round-4 north-star kernel).
+#
+# Workload: ONE shared (N, 7) particle cloud observed under B different
+# magnet settings (the RL/tuning sweep, BASELINE.md:27).  The dense path
+# re-reads the whole cloud from HBM for every setting and is bandwidth-bound
+# at ~1e5 settings/s for N=1e5 (round-3 roofline).  This kernel pins the
+# ENTIRE cloud in VMEM once (N=1e5 f32 is 2.8 MB of 16 MB) and loops the B
+# settings over it on-chip, emitting only per-setting survival-weighted
+# moment SUMS — tracked particles never return to HBM.
+#
+# Scope note (documented honestly): for a *purely affine* run with
+# moments-only observation, this kernel is algebraically redundant — sample
+# moments propagate exactly as mu' = R mu, Sigma' = R Sigma R^T, so
+# ``ParticleBeam.as_parameter_beam()`` + the fused moment sweep is the
+# speed-of-light (and what the env's "moments" route uses).  The kernel is
+# the *fidelity* path for runs where per-particle information is
+# irreducible: interleaved ACTIVE APERTURES make the per-setting survival
+# weights position-dependent, which no moment algebra can express.  It is
+# VPU-bound at ~60-130 flops per particle-push (the 7-dim maps are too
+# small for MXU contraction efficiency), i.e. ~1-2e5 settings/s at N=1e5 —
+# see ``docs/performance.md``.
+# --------------------------------------------------------------------------
+
+#: Particle count cap for the VMEM-resident moment sweep: the cloud
+#: (7 rows + weights + ~7 pushed rows, f32) must fit comfortably in the
+#: 16 MB VMEM alongside the output block.
+MOMENT_SWEEP_MAX_PARTICLES = 262_144
+
+#: Output lane layout (per-setting (8, 128) tile, row 0): 7 first-moment
+#: sums, 28 upper-triangular second-moment sums, 1 weight sum.
+_S2_POSITIONS = tuple((r, c) for r in range(7) for c in range(r, 7))
+
+
+def _apply_layout_rows(layout, coords, cell_of):
+    """Push 7 coordinate vectors through a sparse 7x7 layout; ``cell_of(k)``
+    returns the scalar value of dynamic cell index ``k``."""
+    pushed = []
+    for r in range(7):
+        acc = None
+        for j in range(7):
+            cell = layout[r][j]
+            if isinstance(cell, float):
+                if cell == 0.0:
+                    continue
+                term = coords[j] if cell == 1.0 else cell * coords[j]
+            else:
+                term = cell_of(cell) * coords[j]
+            acc = term if acc is None else acc + term
+        pushed.append(acc if acc is not None else jnp.zeros_like(coords[0]))
+    return pushed
+
+
+def _aperture_mask(xs, ys, x_max, y_max, shape):
+    """Survival mask matching ``accelerator.aperture.aperture_survival_mask``
+    (rectangular strict, elliptical inclusive)."""
+    if shape == "rectangular":
+        return (
+            (xs > -x_max) & (xs < x_max) & (ys > -y_max) & (ys < y_max)
+        )
+    return (xs**2 / x_max**2 + ys**2 / y_max**2) <= 1.0
+
+
+def _moment_sweep_kernel(entries, num_scalars, *refs):
+    """One grid step = one setting ``b``: walk the plan over the resident
+    cloud, then write that setting's 36 moment sums into its output row.
+
+    refs = [scalar-prefetch (B,) arrays ..., particles (7, N_pad),
+    weights (1, N_pad), out (1, 8, 128)].
+    """
+    scalar_refs = refs[:num_scalars]
+    particles_ref = refs[num_scalars]
+    weights_ref = refs[num_scalars + 1]
+    out_ref = refs[num_scalars + 2]
+
+    b = pl.program_id(0)
+    coords = [particles_ref[j, :] for j in range(7)]
+    w = weights_ref[0, :]
+
+    for entry in entries:
+        kind = entry[0]
+        if kind == "map":
+            _, layout = entry
+            coords = _apply_layout_rows(
+                layout, coords, lambda k: scalar_refs[k][b]
+            )
+        else:  # ("aperture", x_idx, y_idx, shape)
+            _, x_idx, y_idx, shape = entry
+            mask = _aperture_mask(
+                coords[0],
+                coords[2],
+                scalar_refs[x_idx][b],
+                scalar_refs[y_idx][b],
+                shape,
+            )
+            w = w * mask.astype(w.dtype)
+
+    weighted = [w * coords[r] for r in range(7)]
+    # Pack the 36 sums into lane positions of one (8, 128) output tile via
+    # masked selects (scalar stores at static lane offsets are relayout-
+    # heavy on Mosaic; one iota-select per sum is cheap and vector-shaped).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    tile = jnp.zeros((8, 128), w.dtype)
+    sums = [jnp.sum(v) for v in weighted]
+    sums += [jnp.sum(weighted[r] * coords[c]) for r, c in _S2_POSITIONS]
+    sums.append(jnp.sum(w))
+    for col, value in enumerate(sums):
+        tile = jnp.where((row == 0) & (lane == col), value, tile)
+    out_ref[0, :, :] = tile
+
+
+def _moment_sweep_reference(entries, scalars, particles, weights):
+    """Pure-XLA reference for the moment sweep (same walk, dense per-setting
+    arrays) — used for CPU tests, non-TPU fallbacks and the backward pass."""
+    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    coords = jnp.broadcast_to(
+        jnp.moveaxis(particles, -1, -2)[None], (B, 7, particles.shape[0])
+    )
+    w = jnp.broadcast_to(weights[None], (B, particles.shape[0]))
+    for entry in entries:
+        if entry[0] == "map":
+            _, layout = entry
+            rows = []
+            for r in range(7):
+                acc = None
+                for j in range(7):
+                    cell = layout[r][j]
+                    if isinstance(cell, float):
+                        if cell == 0.0:
+                            continue
+                        term = (
+                            coords[:, j]
+                            if cell == 1.0
+                            else cell * coords[:, j]
+                        )
+                    else:
+                        term = scalars[cell][:, None] * coords[:, j]
+                    acc = term if acc is None else acc + term
+                rows.append(
+                    acc
+                    if acc is not None
+                    else jnp.zeros_like(coords[:, 0])
+                )
+            coords = jnp.stack(rows, axis=1)
+        else:
+            _, x_idx, y_idx, shape = entry
+            mask = _aperture_mask(
+                coords[:, 0],
+                coords[:, 2],
+                scalars[x_idx][:, None],
+                scalars[y_idx][:, None],
+                shape,
+            )
+            w = w * mask.astype(w.dtype)
+    weighted = w[:, None, :] * coords
+    s1 = jnp.sum(weighted, axis=-1)
+    s2 = jnp.einsum("bin,bjn->bij", weighted, coords)
+    return s1, s2, jnp.sum(w, axis=-1)
+
+
+#: Routing override mirroring ``FUSED_SWEEP_PATH``: None = auto (TPU
+#: backend), True/False force the Pallas kernel on/off (CPU CI runs the
+#: XLA reference; interpret-mode tests force True).
+PARTICLE_MOMENT_SWEEP_PATH = None
+
+
+def fused_particle_moment_sweep(
+    entries: tuple,
+    scalars: tuple,
+    particles: Array,
+    weights: Array,
+) -> Tuple[Array, Array, Array]:
+    """Survival-weighted moment sums of ONE shared particle cloud observed
+    under B settings, with the cloud resident in VMEM across all settings.
+
+    :param entries: static plan — ``("map", layout)`` applies a composed
+        sparse affine map whose dynamic cells index into ``scalars``;
+        ``("aperture", x_idx, y_idx, shape)`` multiplies the survival
+        weights by the aperture mask at the current coordinates.
+    :param scalars: flat tuple of ``(B,)`` per-setting scalar arrays
+        (composed map cells, aperture half-widths).
+    :param particles: ``(N, 7)`` shared cloud.
+    :param weights: ``(N,)`` initial survival weights (zeros for padding).
+    :return: ``(s1, s2, w_sum)`` — ``(B, 7)`` weighted coordinate sums,
+        ``(B, 7, 7)`` weighted second-moment sums, ``(B,)`` weight sums,
+        evaluated AFTER the full plan.  Convert with
+        :func:`particle_moments_from_sums`.
+
+    Differentiable: the backward pass runs ``jax.vjp`` of the (identical-
+    math) XLA reference walk — exactness of the forward kernel is pinned
+    against that reference in tests.
+    """
+    use_pallas = PARTICLE_MOMENT_SWEEP_PATH
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return _moment_sweep_reference(entries, scalars, particles, weights)
+
+    @jax.custom_vjp
+    def sweep(scalars, particles, weights):
+        return _moment_sweep_pallas_impl(entries, scalars, particles, weights)
+
+    def fwd(scalars, particles, weights):
+        return sweep(scalars, particles, weights), (
+            scalars,
+            particles,
+            weights,
+        )
+
+    def bwd(residuals, cotangents):
+        scalars, particles, weights = residuals
+        _, vjp_fn = jax.vjp(
+            lambda s, p, w: _moment_sweep_reference(entries, s, p, w),
+            scalars,
+            particles,
+            weights,
+        )
+        return vjp_fn(cotangents)
+
+    sweep.defvjp(fwd, bwd)
+    return sweep(tuple(scalars), particles, weights)
+
+
+def _moment_sweep_pallas_impl(entries, scalars, particles, weights):
+    N = particles.shape[0]
+    if N > MOMENT_SWEEP_MAX_PARTICLES:
+        return _moment_sweep_reference(entries, scalars, particles, weights)
+    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    dtype = particles.dtype
+
+    pad_n = (-N) % 128
+    particles_t = jnp.moveaxis(particles, -1, -2)  # (7, N)
+    if pad_n:
+        particles_t = jnp.pad(particles_t, ((0, 0), (0, pad_n)))
+        weights = jnp.pad(weights, (0, pad_n))
+    n_pad = N + pad_n
+
+    num_scalars = len(scalars)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_scalars,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (7, n_pad),
+                lambda b, *s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_pad),
+                lambda b, *s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128),
+            lambda b, *s: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_moment_sweep_kernel, entries, num_scalars),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), dtype),
+    )(
+        *[s.astype(dtype) for s in scalars],
+        particles_t,
+        weights.astype(dtype).reshape(1, n_pad),
+    )
+    out = out[:, 0, :]
+    s1 = out[:, :7]
+    s2_flat = out[:, 7 : 7 + len(_S2_POSITIONS)]
+    s2 = jnp.zeros((B, 7, 7), dtype)
+    for k, (r, c) in enumerate(_S2_POSITIONS):
+        s2 = s2.at[:, r, c].set(s2_flat[:, k])
+        if r != c:
+            s2 = s2.at[:, c, r].set(s2_flat[:, k])
+    w_sum = out[:, 7 + len(_S2_POSITIONS)]
+    return s1, s2, w_sum
+
+
+def particle_moments_from_sums(
+    s1: Array, s2: Array, w_sum: Array
+) -> Tuple[Array, Array]:
+    """Convert weighted moment sums into ``(mu, cov)`` with the package's
+    statistics conventions (``_weighted_mean`` / ``_weighted_std``:
+    weight-sum normalization for means, Bessel ``max(W - 1, 1)`` for the
+    covariance) — so ``sqrt(cov[r, r])`` equals ``sigma_*`` exactly."""
+    total = jnp.where(w_sum == 0, 1.0, w_sum)
+    mu = s1 / total[..., None]
+    centered = s2 - w_sum[..., None, None] * (
+        mu[..., :, None] * mu[..., None, :]
+    )
+    denom = jnp.maximum(w_sum - 1.0, 1.0)
+    return mu, centered / denom[..., None, None]
+
+
 def _particle_apply_kernel(layout, num_cells, *refs):
     """Apply a composed per-setting sparse map to a particle tile.
 

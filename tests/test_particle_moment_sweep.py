@@ -1,0 +1,237 @@
+"""Settings-amortized particle moment sweep: one shared cloud, B settings,
+particles resident on-chip (``ops/pallas_track.fused_particle_moment_sweep``).
+
+Pins (a) the XLA reference walk against dense broadcast tracking — including
+interleaved ACTIVE apertures, the case no moment algebra can express —
+(b) the Pallas kernel against the XLA reference in interpreter mode (the
+CPU CI analog of the TPU execution), and (c) gradients through the custom
+VJP.  Reference workload contract: BASELINE.md:27 / the reference's
+(3, 100_000)-settings sweep (``tests/test_vectorized.py:298-321``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import lynx_tpu as lt
+import lynx_tpu.ops.pallas_track as pallas_track
+from lynx_tpu.accelerator.fused import particle_moment_plan
+from lynx_tpu.functional import track
+from lynx_tpu.ops.pallas_track import (
+    fused_particle_moment_sweep,
+    particle_moments_from_sums,
+)
+
+
+@pytest.fixture
+def interpreted_pallas(monkeypatch):
+    monkeypatch.setattr(
+        pallas_track.pl,
+        "pallas_call",
+        functools.partial(pl.pallas_call, interpret=True),
+    )
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", True)
+
+
+def _beam(n=3000, dtype=jnp.float64):
+    return lt.ParticleBeam.from_parameters(
+        num_particles=n,
+        mu_x=jnp.array([2e-5]),
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_y=jnp.array([1.75e-4]),
+        sigma_p=jnp.array([2e-3]),
+        energy=jnp.array([1.073e8]),
+        key=jax.random.PRNGKey(0),
+        dtype=dtype,
+    )
+
+
+def _elements(B, with_aperture, dtype=jnp.float64):
+    k1 = jnp.linspace(-8.0, 8.0, B, dtype=dtype)
+    first = [
+        lt.Drift(jnp.asarray([0.3], dtype), dtype=dtype),
+        lt.Quadrupole(jnp.asarray([0.12], dtype), k1=k1, dtype=dtype),
+        lt.HorizontalCorrector(
+            jnp.asarray([0.02], dtype),
+            angle=jnp.asarray([1e-3], dtype),
+            dtype=dtype,
+        ),
+    ]
+    rest = [
+        lt.Drift(jnp.asarray([0.4], dtype), dtype=dtype),
+        lt.Quadrupole(
+            jnp.asarray([0.12], dtype),
+            k1=jnp.full((B,), 3.0, dtype),
+            dtype=dtype,
+        ),
+        lt.Drift(jnp.asarray([0.2], dtype), dtype=dtype),
+    ]
+    if with_aperture:
+        aperture = [
+            lt.Aperture(
+                x_max=jnp.asarray([2e-4], dtype),
+                y_max=jnp.asarray([3e-4], dtype),
+                shape="rectangular",
+                is_active=True,
+                dtype=dtype,
+            )
+        ]
+    else:
+        aperture = []
+    return first + aperture + rest
+
+
+def _sweep(elements, beam, B):
+    plan = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    assert plan is not None
+    entries, scalars = plan
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+    s1, s2, w_sum = fused_particle_moment_sweep(
+        entries, scalars, particles, weights
+    )
+    return particle_moments_from_sums(s1, s2, w_sum), w_sum
+
+
+def _dense_reference(elements, beam, B):
+    outgoing, _ = track(lt.Segment(elements), beam.broadcast((B,)))
+    return outgoing
+
+
+@pytest.mark.parametrize("with_aperture", [False, True])
+def test_sweep_matches_dense_tracking(with_aperture):
+    B = 6
+    beam = _beam()
+    elements = _elements(B, with_aperture)
+    (mu, cov), w_sum = _sweep(elements, beam, B)
+    reference = _dense_reference(elements, beam, B)
+
+    np.testing.assert_allclose(
+        np.asarray(w_sum),
+        np.asarray(reference.num_particles_survived),
+        rtol=1e-12,
+    )
+    if with_aperture:
+        assert float(w_sum.min()) < beam.num_particles  # losses happened
+        assert float(w_sum.min()) > 0
+    for stat, value in [
+        ("mu_x", mu[:, 0]),
+        ("mu_y", mu[:, 2]),
+        ("sigma_x", jnp.sqrt(cov[:, 0, 0])),
+        ("sigma_y", jnp.sqrt(cov[:, 2, 2])),
+        ("sigma_p", jnp.sqrt(cov[:, 5, 5])),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(value),
+            np.asarray(getattr(reference, stat)),
+            rtol=1e-9,
+            atol=1e-18,
+            err_msg=stat,
+        )
+
+
+def test_pallas_kernel_matches_reference(interpreted_pallas):
+    B = 5
+    beam = _beam(n=700, dtype=jnp.float32)
+    elements = _elements(B, with_aperture=True, dtype=jnp.float32)
+    plan = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    entries, scalars = plan
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+
+    s1_k, s2_k, w_k = fused_particle_moment_sweep(
+        entries, scalars, particles, weights
+    )
+    s1_r, s2_r, w_r = pallas_track._moment_sweep_reference(
+        entries, scalars, particles, weights
+    )
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1_k), np.asarray(s1_r), rtol=1e-5, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2_k), np.asarray(s2_r), rtol=1e-5, atol=1e-12
+    )
+
+
+def test_sweep_gradients_flow(interpreted_pallas):
+    B = 4
+    beam = _beam(n=500, dtype=jnp.float32)
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+    elements = _elements(B, with_aperture=False, dtype=jnp.float32)
+    plan = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    entries, scalars = plan
+
+    def loss(scalars):
+        s1, s2, w = fused_particle_moment_sweep(
+            entries, scalars, particles, weights
+        )
+        mu, cov = particle_moments_from_sums(s1, s2, w)
+        return jnp.sum(cov[:, 0, 0])
+
+    grads = jax.grad(loss)(scalars)
+
+    def loss_ref(scalars):
+        s1, s2, w = pallas_track._moment_sweep_reference(
+            entries, scalars, particles, weights
+        )
+        mu, cov = particle_moments_from_sums(s1, s2, w)
+        return jnp.sum(cov[:, 0, 0])
+
+    grads_ref = jax.grad(loss_ref)(scalars)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in grads)
+    for g, gr in zip(grads, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gr), rtol=2e-4, atol=1e-8
+        )
+
+
+def test_env_kernel_method_matches_particles():
+    env = lt.envs.make_env() if hasattr(lt, "envs") else None
+    from lynx_tpu.envs import make_env
+
+    env = make_env()
+    beam = _beam(n=4000, dtype=jnp.float32)
+    magnets = jax.random.uniform(
+        jax.random.PRNGKey(2), (6, env.num_actions), minval=-0.5, maxval=0.5
+    )
+    kernel = env.batched_particle_beam_parameters(
+        magnets, beam, method="kernel"
+    )
+    dense = env.batched_particle_beam_parameters(
+        magnets, beam, method="particles"
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel), np.asarray(dense), rtol=3e-3, atol=1e-9
+    )
+
+
+def test_plan_rejects_active_screen():
+    B = 3
+    elements = [
+        lt.Drift(jnp.array([0.3])),
+        lt.Screen(is_active=True),
+    ]
+    plan = particle_moment_plan(
+        elements,
+        jnp.array([1e8]),
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    assert plan is None
