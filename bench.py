@@ -16,6 +16,8 @@ Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
      "serial_tracks_per_s": N, "batched_tracks_per_s": N, "batch_size": 8,
      "sweep_env_steps_per_s": N, "particle_env_steps_per_s": N,
+     "particle_env_method": "moment_exact",
+     "particle_env_kernel_steps_per_s": N, "scaling_efficiency_virtual": R,
      "backend": "tpu"|"cpu_fallback"|..., "paths": {name: "ok"|error}}
 
 Each metric runs in its OWN killable subprocess: one crash (Mosaic
@@ -54,7 +56,16 @@ REGRESSION_TOLERANCE = 0.20
 # Workload sizes (module-level so the CPU smoke test can shrink them).
 FLAGSHIP_PARTICLES = 100_000
 SWEEP_BATCH = 100_000
-PARTICLE_ENV_BATCH = 32
+#: Adjudicated on device (VERDICT r3 #2): B-sweep over {32,128,512,2048}
+#: (``benchmarks/particle_env_ab.py``, TPU v5 lite, 2026-08-20) gave
+#: 5.1e5 / 1.7e6 / 9.2e7 / 1.6e9 env-steps/s through the exact moment
+#: route — monotone in B; 512 is a realistic RL population size and
+#: already 92x the 1e6 north star.
+PARTICLE_ENV_BATCH = 512
+#: Batch for the per-particle-fidelity (VMEM-resident kernel) metric.
+PARTICLE_KERNEL_BATCH = 256
+#: Per-device settings batch for the virtual scaling-efficiency metric.
+SCALING_PER_DEVICE = 4096
 # Delta-K pair for the loop-carried measurement harness (see
 # lynx_tpu.profiling.marginal_seconds_per_iter: block_until_ready LIES on
 # the remote-TPU tunnel — only a chained-iteration value fetch measures
@@ -174,10 +185,16 @@ def _sweep_env_steps_per_s(batch: int = None) -> float:
     return batch / per_call
 
 
-def _particle_env_steps_per_s(batch: int = None) -> float:
+def _particle_env_steps_per_s(batch: int = None, method: str = "auto") -> float:
     """Full-fidelity env-step rate: B settings x one shared 100k-particle
-    beam tracked through the EA with sample-moment observation per second —
-    the BASELINE.md north-star workload at ParticleBeam fidelity."""
+    beam observed through the EA with sample-moment observation per second —
+    the BASELINE.md north-star workload at ParticleBeam fidelity.
+
+    ``method="auto"`` resolves to the exact moment-sufficiency route for
+    the (purely linear) EA — algebraically identical observations to
+    pushing all N particles (``tests/test_moment_sufficiency.py``);
+    ``method="kernel"`` times the VMEM-resident per-particle sweep (the
+    fidelity path that generalizes to interleaved apertures)."""
     import jax
     import jax.numpy as jnp
 
@@ -200,7 +217,7 @@ def _particle_env_steps_per_s(batch: int = None) -> float:
 
     def step(carry):
         m, eps = carry
-        out = env.batched_particle_beam_parameters(m + eps, beam)
+        out = env.batched_particle_beam_parameters(m + eps, beam, method=method)
         return m, jnp.sum(out) * jnp.float32(1e-30)
 
     per_call = marginal_seconds_per_iter(
@@ -209,12 +226,49 @@ def _particle_env_steps_per_s(batch: int = None) -> float:
     return batch / per_call
 
 
+def _scaling_efficiency_virtual() -> float:
+    """Partition-overhead ratio of the batch-sharded sweep over the
+    8-virtual-CPU-device mesh (``benchmarks/scaling_efficiency.py``): runs
+    in its own subprocess because the fake-device flag must be set before
+    jax initializes.  1.0 = sharding adds no cost at fixed total batch."""
+    import os
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).parent / "benchmarks" / "scaling_efficiency.py"),
+            "--per-device",
+            str(SCALING_PER_DEVICE),
+        ],
+        timeout=PER_METRIC_TIMEOUT_S,
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return float(json.loads(line)["scaling_efficiency_virtual"])
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+            continue
+    raise RuntimeError(
+        f"no summary line (rc={proc.returncode}): {proc.stderr[-300:]}"
+    )
+
+
 #: metric name -> zero-arg measurement returning a float.
 METRICS = {
     "serial": lambda: _flagship_throughput(batch=1),
     "batched": lambda: _flagship_throughput(batch=8),
     "sweep": _sweep_env_steps_per_s,
     "particle_env": _particle_env_steps_per_s,
+    "particle_env_kernel": lambda: _particle_env_steps_per_s(
+        batch=PARTICLE_KERNEL_BATCH, method="kernel"
+    ),
+    "scaling": _scaling_efficiency_virtual,
 }
 
 
@@ -229,6 +283,8 @@ def check_regression(
         "serial_tracks_per_s",
         "sweep_env_steps_per_s",
         "particle_env_steps_per_s",
+        "particle_env_kernel_steps_per_s",
+        "scaling_efficiency_virtual",
     ):
         if baseline.get(key) and current.get(key):
             ratio = current[key] / baseline[key]
@@ -267,6 +323,17 @@ def _assemble(values: dict, paths: dict, backend: str) -> dict:
         if values.get("particle_env")
         else None,
         "particle_env_batch": PARTICLE_ENV_BATCH,
+        # The EA is purely linear, so the auto route is the exact
+        # moment-sufficiency path (identical observations to pushing all
+        # particles; tests/test_moment_sufficiency.py).
+        "particle_env_method": "moment_exact",
+        "particle_env_kernel_steps_per_s": round(
+            values["particle_env_kernel"], 1
+        )
+        if values.get("particle_env_kernel")
+        else None,
+        "particle_env_kernel_batch": PARTICLE_KERNEL_BATCH,
+        "scaling_efficiency_virtual": values.get("scaling"),
         "backend": backend,
         "paths": paths,
     }
@@ -301,9 +368,12 @@ def _measure_metric_in_subprocess(name: str) -> tuple[float | None, str]:
 
 def _cpu_fallback_sizes() -> None:
     global K_SMALL, K_LARGE, SWEEP_BATCH, PARTICLE_ENV_BATCH
+    global PARTICLE_KERNEL_BATCH, SCALING_PER_DEVICE
     K_SMALL, K_LARGE = 1, 5
     SWEEP_BATCH = 10_000
     PARTICLE_ENV_BATCH = 4
+    PARTICLE_KERNEL_BATCH = 4
+    SCALING_PER_DEVICE = 256
 
 
 def main() -> None:

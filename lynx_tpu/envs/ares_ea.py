@@ -280,15 +280,14 @@ class AresEATransverseTuning:
         interleaved active apertures (per-particle survival that no moment
         algebra can express)."""
         from lynx_tpu.accelerator.fused import particle_moment_plan
-        from lynx_tpu.ops.pallas_track import (
-            fused_particle_moment_sweep,
-            particle_moments_from_sums,
-        )
+        from lynx_tpu.ops.pallas_track import sweep_particle_moments
 
         B = magnets.shape[0]
         plan = particle_moment_plan(
             tuned.flattened().elements,
-            jnp.asarray(self.energy),
+            # Pin to the beam's dtype: self.energy is a Python float and
+            # would otherwise promote the whole sweep to f64 under x64.
+            jnp.asarray(self.energy, beam.particles.dtype),
             lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
         )
         if plan is None:
@@ -308,10 +307,9 @@ class AresEATransverseTuning:
             else jnp.reshape(beam.survival, particles.shape[:1])
         )
         entries, scalars = plan
-        s1, s2, w_sum = fused_particle_moment_sweep(
+        mu, cov, _ = sweep_particle_moments(
             entries, scalars, particles, weights
         )
-        mu, cov = particle_moments_from_sums(s1, s2, w_sum)
         return jnp.stack(
             [
                 mu[:, 0],

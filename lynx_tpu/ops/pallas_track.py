@@ -653,11 +653,11 @@ def _moment_sweep_kernel(entries, num_scalars, *refs):
             coords = _apply_layout_rows(
                 layout, coords, lambda k: scalar_refs[k][b]
             )
-        else:  # ("aperture", x_idx, y_idx, shape)
-            _, x_idx, y_idx, shape = entry
+        else:  # ("aperture", x_idx, y_idx, cx_idx, cy_idx, shape)
+            _, x_idx, y_idx, cx_idx, cy_idx, shape = entry
             mask = _aperture_mask(
-                coords[0],
-                coords[2],
+                coords[0] + scalar_refs[cx_idx][b],
+                coords[2] + scalar_refs[cy_idx][b],
                 scalar_refs[x_idx][b],
                 scalar_refs[y_idx][b],
                 shape,
@@ -713,10 +713,10 @@ def _moment_sweep_reference(entries, scalars, particles, weights):
                 )
             coords = jnp.stack(rows, axis=1)
         else:
-            _, x_idx, y_idx, shape = entry
+            _, x_idx, y_idx, cx_idx, cy_idx, shape = entry
             mask = _aperture_mask(
-                coords[:, 0],
-                coords[:, 2],
+                coords[:, 0] + scalars[cx_idx][:, None],
+                coords[:, 2] + scalars[cy_idx][:, None],
                 scalars[x_idx][:, None],
                 scalars[y_idx][:, None],
                 shape,
@@ -862,6 +862,91 @@ def particle_moments_from_sums(
     )
     denom = jnp.maximum(w_sum - 1.0, 1.0)
     return mu, centered / denom[..., None, None]
+
+
+def _apply_layout_vector(layout, vector, scalars):
+    """Apply a sparse layout to a per-setting ``(B, 7)`` vector in XLA
+    (dynamic cells index into the ``(B,)`` ``scalars``)."""
+    rows = []
+    for r in range(7):
+        acc = None
+        for j in range(7):
+            cell = layout[r][j]
+            if isinstance(cell, float):
+                if cell == 0.0:
+                    continue
+                term = vector[:, j] if cell == 1.0 else cell * vector[:, j]
+            else:
+                term = scalars[cell] * vector[:, j]
+            acc = term if acc is None else acc + term
+        rows.append(acc if acc is not None else jnp.zeros_like(vector[:, 0]))
+    return jnp.stack(rows, axis=-1)
+
+
+def sweep_particle_moments(
+    entries: tuple,
+    scalars: tuple,
+    particles: Array,
+    weights: Array,
+) -> Tuple[Array, Array, Array]:
+    """Numerically-hardened moment sweep: returns per-setting
+    ``(mu (B, 7), cov (B, 7, 7), w_sum (B,))`` of the shared cloud after
+    the plan (``accelerator.fused.particle_moment_plan`` format, i.e.
+    4-field ``("aperture", x_idx, y_idx, shape)`` entries).
+
+    The kernel accumulates raw second moments; computing
+    ``sigma^2 = E[x^2] - mu^2`` from them in f32 loses ~|mu|/sigma digits
+    to cancellation (a beam focused to a 1e-6 m spot at a 6e-4 m offset
+    leaves ~1 significant digit).  This wrapper applies the standard
+    shifted-moments cure: it sweeps the *deviation* cloud
+    ``delta = x - mean(x)`` — exactly linear, because ``delta``'s
+    homogeneous 7th component is 0, which switches every affine column
+    off — and reconstructs absolute positions at each aperture plane from
+    the mean's per-plane image ``R_prefix @ c`` (exact: affine maps
+    commute with the decomposition ``x = c + delta``).  Final moments:
+    ``mu = R_total c + s1/W`` and the covariance from deviation sums,
+    both cancellation-free.
+    """
+    dtype = particles.dtype
+    B = scalars[0].shape[0] if scalars else weights.shape[0]
+
+    total_w = jnp.sum(weights)
+    total_w = jnp.where(total_w == 0, 1.0, total_w)
+    center = jnp.sum(particles * weights[:, None], axis=0) / total_w
+    center = center.at[6].set(1.0)
+    delta = particles - center
+
+    # Walk the plan in XLA, tracking the center's per-setting image to
+    # (a) offset each aperture mask, (b) produce the final mean image.
+    image = jnp.broadcast_to(center.astype(dtype), (B, 7))
+    scalars = tuple(s.astype(dtype) for s in scalars)
+    kernel_entries = []
+    extra = list(scalars)
+    for entry in entries:
+        if entry[0] == "map":
+            kernel_entries.append(entry)
+            image = _apply_layout_vector(entry[1], image, scalars)
+        else:
+            _, x_idx, y_idx, shape = entry
+            cx_idx = len(extra)
+            extra.append(image[:, 0])
+            cy_idx = len(extra)
+            extra.append(image[:, 2])
+            kernel_entries.append(
+                ("aperture", x_idx, y_idx, cx_idx, cy_idx, shape)
+            )
+
+    s1, s2, w_sum = fused_particle_moment_sweep(
+        tuple(kernel_entries), tuple(extra), delta, weights
+    )
+    total = jnp.where(w_sum == 0, 1.0, w_sum)
+    shift = s1 / total[..., None]
+    mu = image + shift
+    centered = s2 - w_sum[..., None, None] * (
+        shift[..., :, None] * shift[..., None, :]
+    )
+    denom = jnp.maximum(w_sum - 1.0, 1.0)
+    return mu, centered / denom[..., None, None], w_sum
 
 
 def _particle_apply_kernel(layout, num_cells, *refs):

@@ -78,6 +78,8 @@ def test_bench_main_end_to_end_smoke(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "FLAGSHIP_PARTICLES", 500)
     monkeypatch.setattr(bench, "SWEEP_BATCH", 64)
     monkeypatch.setattr(bench, "PARTICLE_ENV_BATCH", 2)
+    monkeypatch.setattr(bench, "PARTICLE_KERNEL_BATCH", 2)
+    monkeypatch.setattr(bench, "SCALING_PER_DEVICE", 64)
     monkeypatch.setattr(bench, "K_SMALL", 1)
     monkeypatch.setattr(bench, "K_LARGE", 3)
     monkeypatch.setattr(bench, "BASELINE_FILE", tmp_path / "baseline.json")

@@ -24,6 +24,7 @@ from lynx_tpu.functional import track
 from lynx_tpu.ops.pallas_track import (
     fused_particle_moment_sweep,
     particle_moments_from_sums,
+    sweep_particle_moments,
 )
 
 
@@ -95,10 +96,10 @@ def _sweep(elements, beam, B):
     entries, scalars = plan
     particles = beam.particles[0]
     weights = jnp.ones(particles.shape[:1], particles.dtype)
-    s1, s2, w_sum = fused_particle_moment_sweep(
+    mu, cov, w_sum = sweep_particle_moments(
         entries, scalars, particles, weights
     )
-    return particle_moments_from_sums(s1, s2, w_sum), w_sum
+    return (mu, cov), w_sum
 
 
 def _dense_reference(elements, beam, B):
@@ -138,7 +139,7 @@ def test_sweep_matches_dense_tracking(with_aperture):
         )
 
 
-def test_pallas_kernel_matches_reference(interpreted_pallas):
+def test_pallas_kernel_matches_reference(interpreted_pallas, monkeypatch):
     B = 5
     beam = _beam(n=700, dtype=jnp.float32)
     elements = _elements(B, with_aperture=True, dtype=jnp.float32)
@@ -151,18 +152,19 @@ def test_pallas_kernel_matches_reference(interpreted_pallas):
     particles = beam.particles[0]
     weights = jnp.ones(particles.shape[:1], particles.dtype)
 
-    s1_k, s2_k, w_k = fused_particle_moment_sweep(
+    mu_k, cov_k, w_k = sweep_particle_moments(
         entries, scalars, particles, weights
     )
-    s1_r, s2_r, w_r = pallas_track._moment_sweep_reference(
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", False)
+    mu_r, cov_r, w_r = sweep_particle_moments(
         entries, scalars, particles, weights
     )
     np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), rtol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(s1_k), np.asarray(s1_r), rtol=1e-5, atol=1e-10
+        np.asarray(mu_k), np.asarray(mu_r), rtol=1e-5, atol=1e-10
     )
     np.testing.assert_allclose(
-        np.asarray(s2_k), np.asarray(s2_r), rtol=1e-5, atol=1e-12
+        np.asarray(cov_k), np.asarray(cov_r), rtol=1e-4, atol=1e-14
     )
 
 
