@@ -56,6 +56,18 @@ class BPM(Element):
             reading = bpm_reading(incoming)
             if not isinstance(reading, jax.core.Tracer):
                 self.reading = reading
+            elif self.is_active:
+                # Same deviation as Screen.track (docs/deviations.md §8):
+                # stateful readings cannot be written under tracing.
+                import warnings
+
+                warnings.warn(
+                    f"BPM {self.name!r} was tracked with traced values"
+                    " (inside jit/vmap/grad): the stateful '.reading'"
+                    " cannot be updated. Use lynx_tpu.functional.track's"
+                    " diagnostics output instead (docs/deviations.md §8).",
+                    stacklevel=2,
+                )
         else:
             raise TypeError(f"Parameter incoming is of invalid type {type(incoming)}")
         return incoming

@@ -289,6 +289,24 @@ class Screen(Element):
         )
         if not is_traced:
             self.set_read_beam(read_beam)
+        else:
+            # The reference stores the read beam on EVERY active-screen
+            # track (``screen.py:126-141``); under jit/vmap/grad tracing
+            # that side effect cannot exist, so ``.reading`` would silently
+            # stay zeros.  Warn once per screen instead of failing silently
+            # (docs/deviations.md §8); the supported traced route is
+            # ``lynx_tpu.functional.track``'s diagnostics output.
+            import warnings
+
+            warnings.warn(
+                f"Screen {self.name!r} was tracked with traced values"
+                " (inside jit/vmap/grad): the stateful '.reading' cannot"
+                " be updated and will NOT reflect this track. Use"
+                " lynx_tpu.functional.track(segment, beam) and read the"
+                " image from its diagnostics dict instead"
+                " (docs/deviations.md §8).",
+                stacklevel=2,
+            )
         return Beam.empty  # the screen absorbs the beam (reference ``:139``)
 
     @property
