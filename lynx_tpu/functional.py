@@ -50,7 +50,7 @@ Diagnostics = Dict[str, Any]
 
 
 def track(
-    segment: Segment, incoming: Beam
+    segment: Segment, incoming: Beam, platform: Optional[str] = None
 ) -> Tuple[Optional[Beam], Diagnostics]:
     """Track ``incoming`` through ``segment``; return (outgoing, diagnostics).
 
@@ -59,17 +59,23 @@ def track(
     * ``diagnostics`` maps ``"<element name>"`` to the element's reading:
       BPM -> ``(2, ...)`` position reading, Screen -> ``(..., H, W)`` image,
       Aperture -> ``(..., N)`` survival mask after the aperture.
+    * ``platform`` overrides kernel routing (``"tpu"``/``"cpu"``); the
+      default resolves from the beam arrays' committed device
+      (``lynx_tpu.accelerator.segment.resolve_platform``).
 
     Pure: no element state is touched; safe under jit/grad/vmap/shard_map.
     """
+    from lynx_tpu.accelerator.segment import resolve_platform
+
     diagnostics: Diagnostics = {}
     beam = incoming
     run: list[Element] = []
+    platform = resolve_platform(incoming, platform)
 
     def flush(run: list[Element], beam: Beam) -> Beam:
         if not run:
             return beam
-        fused = _fused_flush(run, beam)
+        fused = _fused_flush(run, beam, platform)
         if fused is not None:
             return fused
         energy = jnp.asarray(beam.energy)
@@ -128,7 +134,7 @@ def track(
         elif isinstance(element, Marker):
             pass
         elif isinstance(element, Segment):
-            beam, sub_diagnostics = track(element, beam)
+            beam, sub_diagnostics = track(element, beam, platform)
             diagnostics.update(sub_diagnostics)
             if beam is None:
                 return None, diagnostics
