@@ -277,6 +277,37 @@ class Screen(Element):
             )
         return incoming
 
+    def derive_histogram_window(
+        self, read_beam, k_sigma: float = 6.0
+    ) -> Tuple[int, int]:
+        """Static ``(x_px, y_px)`` histogram window sized from a concrete
+        reference working-point beam at the screen plane (VERDICT r3
+        next #7 — replaces hand-tuned window constants).
+
+        The windowed MXU histogram's dynamic *origin* already tracks the
+        spot position, so only the spot SIZE needs a static bound:
+        ``2 * k_sigma * sigma`` per axis in effective pixels, clipped to
+        the resolution.  ``k_sigma=6`` bounds the extreme sample of 1e5
+        Gaussian particles (max |z| ~ 4.4 sigma) with ~35% margin; spots
+        that settings blow up beyond the window still fall back to the
+        exact scatter path (counted by
+        ``lynx_tpu.ops.histogram.histogram_fallback_count``).
+
+        The beam's statistics must be concrete (eager) values — sizing is
+        a build-time decision, not a traced one.
+        """
+        import numpy as np
+
+        pixel = np.asarray(self.effective_pixel_size)
+        sigma_x = float(np.max(np.asarray(read_beam.sigma_x)))
+        sigma_y = float(np.max(np.asarray(read_beam.sigma_y)))
+        width = int(np.ceil(2.0 * k_sigma * sigma_x / float(pixel[0])))
+        height = int(np.ceil(2.0 * k_sigma * sigma_y / float(pixel[1])))
+        return (
+            max(8, min(width, self.effective_resolution[0])),
+            max(8, min(height, self.effective_resolution[1])),
+        )
+
     def track(self, incoming: Beam) -> Beam:
         if not self.is_active:
             return incoming

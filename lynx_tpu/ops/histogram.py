@@ -83,6 +83,40 @@ def weighted_histogram_2d(
     return hist_1(flat, jnp.broadcast_to(weights, flat.shape))
 
 
+# -- Fallback instrumentation (VERDICT r3 next #7) --------------------------
+
+#: Host-side count of windowed-histogram scatter fallbacks this process.
+#: The fallback is EXACT but ~4x slower than the windowed MXU kernel on
+#: the flagship read — a silent perf cliff unless counted.
+_FALLBACK_STATE = {"count": 0}
+
+
+def histogram_fallback_count() -> int:
+    """How many windowed-histogram reads fell back to the scatter path in
+    this process (works under jit via ``jax.debug.callback``; call
+    ``jax.effects_barrier()`` before asserting in tests)."""
+    return _FALLBACK_STATE["count"]
+
+
+def reset_histogram_fallback_count() -> None:
+    _FALLBACK_STATE["count"] = 0
+
+
+def _note_fallback() -> None:
+    _FALLBACK_STATE["count"] += 1
+    count = _FALLBACK_STATE["count"]
+    if count & (count - 1) == 0:  # log at 1, 2, 4, 8, ... (no spam)
+        from lynx_tpu.log import get_logger
+
+        get_logger("histogram").info(
+            "windowed screen histogram fell back to the exact scatter path"
+            " (spot larger than the static window; occurrence %d this"
+            " process). Consider Screen.derive_histogram_window for the"
+            " working point, or a larger Screen.histogram_window.",
+            count,
+        )
+
+
 # -- MXU one-hot-matmul histogram (TPU fast path) ---------------------------
 
 #: Default window side (pixels).  The one-hot matmul costs
@@ -356,6 +390,9 @@ def windowed_matmul_histogram_2d(
             return out.reshape(*batch_shape, nx, ny)
 
         def scatter_branch(args):
+            # Count the (exact, ~4x slower) fallback so the perf cliff is
+            # observable; fires only when this branch actually executes.
+            jax.debug.callback(_note_fallback)
             return weighted_histogram_2d(
                 x, y, weights, (x_lo, x_hi), (y_lo, y_hi), (nx, ny)
             )
