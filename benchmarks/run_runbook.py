@@ -98,6 +98,9 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             statuses[name] = "timeout"
         print(f"    {statuses[name]} ({time.time() - start:.0f}s)")
+        # Canonical latest-run copy is the only git-tracked artifact;
+        # timestamped logs stay local history (ADVICE r3).
+        (RESULTS / f"latest_{name}.log").write_text(log.read_text())
         tail = log.read_text().splitlines()[-8:]
         for line in tail:
             print("   |", line)
