@@ -102,6 +102,72 @@ def reset_histogram_fallback_count() -> None:
     _FALLBACK_STATE["count"] = 0
 
 
+_CALLBACK_SUPPORT: dict = {}
+
+
+def _callbacks_supported() -> bool:
+    """Whether the default backend can lower host callbacks.  The remote-
+    attached axon TPU plugin rejects jax.debug.callback at COMPILE time
+    (``UNIMPLEMENTED: axon_pjrt does not support host send/recv
+    callbacks``) — and ``lax.cond`` traces both branches, so a callback
+    in the fallback branch would break every windowed read there, taken
+    or not.  On such backends the counter is disabled; use
+    :func:`window_fits` (a pure function) to audit a working point."""
+    backend = jax.default_backend()
+    if backend not in _CALLBACK_SUPPORT:
+        try:
+            version = jax.devices()[0].client.platform_version
+        except Exception:  # pragma: no cover - exotic clients
+            version = ""
+        _CALLBACK_SUPPORT[backend] = "axon" not in version
+    return _CALLBACK_SUPPORT[backend]
+
+
+def window_fits(
+    x: Array,
+    y: Array,
+    weights: Array,
+    x_range,
+    y_range,
+    bins: Tuple[int, int],
+    window,
+) -> Array:
+    """Pure audit of the windowed-histogram routing decision: True where
+    every live particle lands inside the (origin-tracked) static window —
+    i.e. the read takes the MXU fast path, False = the exact-but-~4x
+    scatter fallback.  Works on every backend (no host callback), under
+    jit, and over batches; use it to validate a working point against a
+    window size."""
+    nx, ny = int(bins[0]), int(bins[1])
+    window_x, window_y = (
+        (int(window), int(window))
+        if isinstance(window, (int, float))
+        else (int(window[0]), int(window[1]))
+    )
+    win_x = min(_round_up(window_x, 8), _round_up(nx, 8))
+    win_y = min(_round_up(window_y, 128), _round_up(ny, 128))
+    if win_x >= nx and win_y >= ny:
+        return jnp.ones(jnp.shape(x)[:-1], bool)
+
+    def index(v, lo, hi, n):
+        scaled = (v - lo) / (hi - lo) * n
+        idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, n - 1)
+        return idx, (v >= lo) & (v <= hi)
+
+    ix, vx = index(x, x_range[0], x_range[1], nx)
+    iy, vy = index(y, y_range[0], y_range[1], ny)
+    live = (vx & vy) & (jnp.broadcast_to(weights, ix.shape) != 0)
+
+    def origin(idx, n, win):
+        lo = jnp.min(jnp.where(live, idx, n), axis=-1)
+        return jnp.clip(lo, 0, max(n - win, 0))
+
+    lx = ix - origin(ix, nx, win_x)[..., None]
+    ly = iy - origin(iy, ny, win_y)[..., None]
+    in_window = (lx >= 0) & (lx < win_x) & (ly >= 0) & (ly < win_y)
+    return ~jnp.any(live & ~in_window, axis=-1)
+
+
 def _note_fallback() -> None:
     _FALLBACK_STATE["count"] += 1
     count = _FALLBACK_STATE["count"]
@@ -392,7 +458,11 @@ def windowed_matmul_histogram_2d(
         def scatter_branch(args):
             # Count the (exact, ~4x slower) fallback so the perf cliff is
             # observable; fires only when this branch actually executes.
-            jax.debug.callback(_note_fallback)
+            # Skipped on backends that cannot lower host callbacks (axon
+            # rejects them at compile time even in the untaken branch) —
+            # audit those with :func:`window_fits` instead.
+            if _callbacks_supported():
+                jax.debug.callback(_note_fallback)
             return weighted_histogram_2d(
                 x, y, weights, (x_lo, x_hi), (y_lo, y_hi), (nx, ny)
             )

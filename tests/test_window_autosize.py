@@ -62,6 +62,22 @@ def test_derived_window_contains_the_flagship_spot():
     assert extent_x * 1.05 < window[0]
     assert extent_y * 1.05 < window[1]
 
+    # The router's own verdict agrees (pure audit, works on any backend —
+    # the axon TPU plugin cannot lower the callback counter).  Arguments
+    # replicate screen_reading_particle's camera-orientation call exactly.
+    half_w = 2448 * pixel[0] / 2
+    half_h = 2040 * pixel[1] / 2
+    fits = hist.window_fits(
+        -out.ys,
+        out.xs,
+        jnp.ones_like(out.xs),
+        (-half_h, half_h),
+        (-half_w, half_w),
+        (2040, 2448),
+        (window[1], window[0]),
+    )
+    assert bool(np.all(np.asarray(fits)))
+
 
 def test_derive_histogram_window_math():
     screen = lt.Screen(
