@@ -45,13 +45,21 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
 
-    # 1. Pure particle tracking, no screen.
+    # 1. Pure particle tracking, no screen.  Flagship optics (the bench
+    # contract, __graft_entry__._flagship): all three quads set — with
+    # only AREAMQZM1 powered the spot's y-extent (~1156 px) exceeds any
+    # sane histogram window and the flagship row silently measured the
+    # scatter-fallback path instead of the windowed kernel.
     segment = ares_ea_segment()
     segment.AREABSCR1.is_active = False
     segment.AREAMQZM1.k1 = jnp.array([4.2])
+    segment.AREAMQZM2.k1 = jnp.array([-4.2])
+    segment.AREAMQZM3.k1 = jnp.array([2.1])
     beam = lt.ParticleBeam.from_parameters(
         num_particles=100_000, sigma_x=jnp.array([1.75e-4]),
-        sigma_y=jnp.array([1.75e-4]), energy=jnp.array([1.073e8]), key=key,
+        sigma_y=jnp.array([1.75e-4]), sigma_xp=jnp.array([2e-5]),
+        sigma_yp=jnp.array([2e-5]), sigma_s=jnp.array([8e-6]),
+        sigma_p=jnp.array([2e-3]), energy=jnp.array([1.073e8]), key=key,
     )
 
     def rebeam(particles):
