@@ -235,6 +235,80 @@ def check_particle_sweep():
     )
 
 
+def check_particle_moment_sweep():
+    """Round-4 settings-amortized VMEM-resident moment sweep: on-device
+    parity (incl. an interleaved ACTIVE aperture) vs the XLA reference
+    walk, fwd + grad."""
+    import lynx_tpu as lt
+    import lynx_tpu.ops.pallas_track as pt
+    from lynx_tpu.accelerator.fused import particle_moment_plan
+
+    B, N = 16, 20_000
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=N,
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_y=jnp.array([1.75e-4]),
+        energy=jnp.array([1.073e8]),
+        key=jax.random.PRNGKey(7),
+    )
+    elements = [
+        lt.Drift(jnp.array([0.3])),
+        lt.Quadrupole(jnp.array([0.12]), k1=jnp.linspace(-8, 8, B)),
+        lt.Aperture(
+            x_max=jnp.array([3e-4]), y_max=jnp.array([4e-4]), is_active=True
+        ),
+        lt.Drift(jnp.array([0.4])),
+        lt.Quadrupole(jnp.array([0.12]), k1=jnp.full((B,), 3.0)),
+    ]
+    entries, scalars = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    particles = beam.particles[0]
+    weights = jnp.ones((N,), jnp.float32)
+
+    mu_k, cov_k, w_k = jax.jit(
+        lambda s: pt.sweep_particle_moments(entries, s, particles, weights)
+    )(scalars)
+    pt.PARTICLE_MOMENT_SWEEP_PATH = False
+    try:
+        mu_r, cov_r, w_r = jax.jit(
+            lambda s: pt.sweep_particle_moments(entries, s, particles, weights)
+        )(scalars)
+    finally:
+        pt.PARTICLE_MOMENT_SWEEP_PATH = None
+    diff = max(
+        float(jnp.max(jnp.abs(mu_k - mu_r))) / max(float(jnp.max(jnp.abs(mu_r))), 1e-9),
+        float(jnp.max(jnp.abs(cov_k - cov_r))) / max(float(jnp.max(jnp.abs(cov_r))), 1e-12),
+        float(jnp.max(jnp.abs(w_k - w_r))) / N,
+    )
+    _report(
+        "particle_moment_sweep", diff <= 1e-4, {"max_rel_diff": diff}
+    )
+
+    def loss(scalars, use_pallas):
+        pt.PARTICLE_MOMENT_SWEEP_PATH = True if use_pallas else False
+        try:
+            mu, cov, w = pt.sweep_particle_moments(
+                entries, scalars, particles, weights
+            )
+        finally:
+            pt.PARTICLE_MOMENT_SWEEP_PATH = None
+        return jnp.sum(cov[:, 0, 0]) + jnp.sum(mu[:, 0] ** 2)
+
+    g_k = jax.jit(jax.grad(lambda s: loss(s, True)))(scalars)
+    g_r = jax.jit(jax.grad(lambda s: loss(s, False)))(scalars)
+    gdiff = max(
+        float(jnp.max(jnp.abs(a - b)))
+        / max(float(jnp.max(jnp.abs(b))), 1e-12)
+        for a, b in zip(g_k, g_r)
+    )
+    _report(
+        "particle_moment_sweep_grad", gdiff <= 1e-3, {"max_rel_diff": gdiff}
+    )
+
+
 def check_hoisted_plan():
     """Static-group (const-table) hoisting: the hoisted plan compiles on
     device, matches the all-dynamic kernel, and reports its speedup (the
@@ -329,4 +403,5 @@ if __name__ == "__main__":
     check_fused_backward()
     check_hoisted_plan()
     check_particle_sweep()
+    check_particle_moment_sweep()
     print(json.dumps({"check": "all", "ok": True}))

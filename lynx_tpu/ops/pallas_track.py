@@ -724,7 +724,14 @@ def _moment_sweep_reference(entries, scalars, particles, weights):
             w = w * mask.astype(w.dtype)
     weighted = w[:, None, :] * coords
     s1 = jnp.sum(weighted, axis=-1)
-    s2 = jnp.einsum("bin,bjn->bij", weighted, coords)
+    # HIGHEST: TPU einsum defaults to bf16 operands (measured 1.4e-3
+    # relative on second moments vs the exact-f32 kernel).
+    s2 = jnp.einsum(
+        "bin,bjn->bij",
+        weighted,
+        coords,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return s1, s2, jnp.sum(w, axis=-1)
 
 

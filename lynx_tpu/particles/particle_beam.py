@@ -674,11 +674,21 @@ class ParticleBeam(Beam):
             mu = weighted.sum(axis=-2) / total[..., None]
         centered = particles - mu[..., None, :]
         denom = jnp.maximum(total - 1.0, 1.0)
+        # HIGHEST: TPU einsum defaults to bf16 operands — sample second
+        # moments would silently lose ~8 mantissa bits.
         if weights is None:
-            cov = jnp.einsum("...ni,...nj->...ij", centered, centered)
+            cov = jnp.einsum(
+                "...ni,...nj->...ij",
+                centered,
+                centered,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         else:
             cov = jnp.einsum(
-                "...ni,...nj->...ij", centered * weights[..., None], centered
+                "...ni,...nj->...ij",
+                centered * weights[..., None],
+                centered,
+                precision=jax.lax.Precision.HIGHEST,
             )
         cov = cov / denom[..., None, None]
         return ParameterBeam(
