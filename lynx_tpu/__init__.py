@@ -26,8 +26,9 @@ from lynx_tpu.accelerator import (  # noqa: F401
     Undulator,
     VerticalCorrector,
 )
+from lynx_tpu.functional import moment_sufficient, track  # noqa: F401
 from lynx_tpu.particles import Beam, ParameterBeam, ParticleBeam  # noqa: F401
 from lynx_tpu.random import seed  # noqa: F401
 from lynx_tpu.tuning import make_tuner, tune  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
