@@ -740,6 +740,265 @@ def _moment_sweep_reference(entries, scalars, particles, weights):
 #: XLA reference; interpret-mode tests force True).
 PARTICLE_MOMENT_SWEEP_PATH = None
 
+#: Packed-Gram variant of the moment sweep: None = auto (on whenever the
+#: Pallas path runs and B >= 16), True/False force.  See
+#: ``_moment_sweep_packed_impl``.
+PACKED_MOMENT_SWEEP = None
+
+#: Settings packed per MXU Gram step (fills the 128 sublanes with 16
+#: settings x 8 weighted coordinate rows).
+_PACK_SETTINGS = 16
+#: Particle-chunk width of the packed kernel's grid.
+_PACK_CHUNK = 8192
+
+
+def _packed_prefix_rows(entries, scalars):
+    """XLA-side plan preprocessing for the packed kernel: for each
+    aperture, the x/y rows (rows 0 and 2, columns 0-6 — the affine column
+    multiplies the deviation cloud's zero 7th component) of the map prefix
+    composed up to that aperture, encoded like map layouts (float literal
+    or index into the extended scalar list); plus the final total layout.
+
+    Returns ``(aperture_specs, total_layout, extended_scalars)`` where each
+    aperture spec is ``(x_row, y_row, x_idx, y_idx, cx_idx, cy_idx,
+    shape)`` and rows are 7-tuples.
+    """
+    extended = list(scalars)
+    prefix = tbl.identity_table()
+    aperture_specs = []
+    for entry in entries:
+        if entry[0] == "map":
+            layout = entry[1]
+            table = [
+                [
+                    cell if isinstance(cell, float) else scalars[cell]
+                    for cell in row
+                ]
+                for row in layout
+            ]
+            prefix = tbl.compose(table, prefix)
+        else:
+            _, x_idx, y_idx, cx_idx, cy_idx, shape = entry
+
+            def encode_row(r):
+                spec = []
+                for j in range(7):
+                    cell = prefix[r][j]
+                    if tbl._is_literal(cell):
+                        spec.append(float(cell))
+                    else:
+                        spec.append(len(extended))
+                        extended.append(cell)
+                return tuple(spec)
+
+            aperture_specs.append(
+                (
+                    encode_row(0),
+                    encode_row(2),
+                    x_idx,
+                    y_idx,
+                    cx_idx,
+                    cy_idx,
+                    shape,
+                )
+            )
+    layout, cells = _split_table(prefix)
+    offset = len(extended)
+    extended.extend(cells)
+    total_layout = tuple(
+        tuple(c if isinstance(c, float) else c + offset for c in row)
+        for row in layout
+    )
+    return tuple(aperture_specs), total_layout, tuple(extended)
+
+
+def _packed_gram_kernel(aperture_specs, num_scalars, *refs):
+    """One grid step: for 16 settings, evaluate the aperture masks on this
+    particle chunk (plane positions = sparse prefix rows over the shared
+    deviation rows), pack the 16 x 8 weighted coordinate rows into the 128
+    MXU sublanes, and accumulate one (128, 8) Gram block:
+
+        G[s*8 + j, k] = sum_n w_s[n] * aug_j[n] * aug_k[n]
+
+    with ``aug = [delta_0..delta_6, valid]`` — so each setting's 8x8 block
+    jointly carries its weighted second moments (j,k < 7), first moments
+    (row/col 7) and weight sum (7,7).  The per-setting VPU work is only
+    the aperture plane rows + masks + 8 row scales; the O(N * 64)
+    reduction rides the MXU at full 128-sublane occupancy.
+    """
+    scalar_refs = refs[:num_scalars]
+    aug_ref = refs[num_scalars]  # (8, CHUNK): deltas + valid row
+    w_ref = refs[num_scalars + 1]  # (1, CHUNK): initial survival
+    out_ref = refs[num_scalars + 2]  # (1, 128, 8)
+    pack_ref = refs[num_scalars + 3]  # scratch (128, CHUNK)
+
+    c = pl.program_id(0)
+    g = pl.program_id(1)
+
+    aug = [aug_ref[j, :] for j in range(8)]
+    w0 = w_ref[0, :]
+
+    for s in range(_PACK_SETTINGS):
+        b = g * _PACK_SETTINGS + s
+        w_s = w0
+        for x_row, y_row, x_idx, y_idx, cx_idx, cy_idx, shape in (
+            aperture_specs
+        ):
+            def plane(row_spec, center_idx):
+                acc = None
+                for j in range(7):
+                    cell = row_spec[j]
+                    if isinstance(cell, float):
+                        if cell == 0.0:
+                            continue
+                        term = aug[j] if cell == 1.0 else cell * aug[j]
+                    else:
+                        term = scalar_refs[cell][b] * aug[j]
+                    acc = term if acc is None else acc + term
+                base = scalar_refs[center_idx][b]
+                return base if acc is None else acc + base
+
+            mask = _aperture_mask(
+                plane(x_row, cx_idx),
+                plane(y_row, cy_idx),
+                scalar_refs[x_idx][b],
+                scalar_refs[y_idx][b],
+                shape,
+            )
+            w_s = w_s * mask.astype(w_s.dtype)
+        for j in range(8):
+            pack_ref[s * 8 + j, :] = w_s * aug[j]
+
+    # (128, CHUNK) x (8, CHUNK) -> (128, 8), contracting the lane axes.
+    gram = jax.lax.dot_general(
+        pack_ref[...],
+        aug_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[0, :, :] = gram
+
+    @pl.when(c != 0)
+    def _acc():
+        out_ref[0, :, :] = out_ref[0, :, :] + gram
+
+
+def _moment_sweep_packed_impl(entries, scalars, particles, weights):
+    """Packed-Gram moment sweep (the TPU-native fast path for
+    aperture-interleaved sweeps; VERDICT r4 kernel redesign).
+
+    Key algebra: final weights depend on per-particle positions, but the
+    final coordinates are an affine image of the incoming ones — so
+
+        sum_n w_final (R x)(R x)^T  =  R [ sum_n w_final x x^T ] R^T
+
+    EXACTLY.  The kernel therefore only evaluates masks (2 sparse prefix
+    rows per aperture per setting) and weighted Grams of the SHARED
+    incoming deviation rows, packed 16 settings at a time onto the MXU's
+    128 sublanes; the per-setting map applications collapse into one tiny
+    per-setting sandwich in XLA afterwards.  The dense per-setting push
+    (60-130 VPU flops/particle) never happens.
+    """
+    N = particles.shape[0]
+    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    dtype = particles.dtype
+
+    aperture_specs, total_layout, extended = _packed_prefix_rows(
+        entries, scalars
+    )
+
+    extended = tuple(v.astype(dtype) for v in extended)
+    pad_b = (-B) % _PACK_SETTINGS
+    if pad_b:
+        padded_scalars = tuple(
+            jnp.pad(v, (0, pad_b), mode="edge") for v in extended
+        )
+    else:
+        padded_scalars = extended
+    b_pad = B + pad_b
+    groups = b_pad // _PACK_SETTINGS
+
+    chunk = min(_PACK_CHUNK, _round_up_int(N, 512))
+    pad_n = (-N) % chunk
+    particles_t = jnp.moveaxis(particles, -1, -2)  # (7, N)
+    valid = jnp.ones((1, N), dtype)
+    w_row = weights.astype(dtype).reshape(1, N)
+    if pad_n:
+        particles_t = jnp.pad(particles_t, ((0, 0), (0, pad_n)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_n)))
+        w_row = jnp.pad(w_row, ((0, 0), (0, pad_n)))
+    aug = jnp.concatenate([particles_t, valid], axis=0)  # (8, N_pad)
+    n_chunks = aug.shape[1] // chunk
+
+    num_scalars = len(extended)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_scalars,
+        grid=(n_chunks, groups),
+        in_specs=[
+            pl.BlockSpec(
+                (8, chunk), lambda c, g, *s: (0, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, chunk), lambda c, g, *s: (0, c), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 128, 8), lambda c, g, *s: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((128, chunk), dtype)],
+    )
+    out = pl.pallas_call(
+        partial(_packed_gram_kernel, aperture_specs, num_scalars),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups, 128, 8), dtype),
+    )(*padded_scalars, aug, w_row)
+
+    G = out.reshape(b_pad, 8, 8)[:B]  # per-setting joint Gram
+    s1_delta = G[:, 7, :7]
+    s2_delta = G[:, :7, :7]
+    w_sum = G[:, 7, 7]
+
+    # Final-coordinate sums via the exact affine-image algebra.
+    total_scalars = extended  # layout indices point into the extended list
+    s1 = _apply_layout_vector(total_layout, s1_delta, total_scalars)
+    left = _apply_layout_matrix_left(total_layout, s2_delta, total_scalars)
+    s2 = jnp.swapaxes(
+        _apply_layout_matrix_left(
+            total_layout, jnp.swapaxes(left, -1, -2), total_scalars
+        ),
+        -1,
+        -2,
+    )
+    return s1, s2, w_sum
+
+
+def _apply_layout_matrix_left(layout, mat, scalars):
+    """``out[b, i, k] = sum_j layout[i][j] * mat[b, j, k]`` with sparse
+    literal skipping (dynamic cells are ``(B,)`` scalars)."""
+    rows = []
+    for i in range(7):
+        acc = None
+        for j in range(7):
+            cell = layout[i][j]
+            if isinstance(cell, float):
+                if cell == 0.0:
+                    continue
+                term = mat[:, j, :] if cell == 1.0 else cell * mat[:, j, :]
+            else:
+                term = scalars[cell][:, None] * mat[:, j, :]
+            acc = term if acc is None else acc + term
+        rows.append(
+            acc if acc is not None else jnp.zeros_like(mat[:, 0, :])
+        )
+    return jnp.stack(rows, axis=1)
+
+
+def _round_up_int(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
 
 def fused_particle_moment_sweep(
     entries: tuple,
@@ -752,10 +1011,20 @@ def fused_particle_moment_sweep(
 
     :param entries: static plan — ``("map", layout)`` applies a composed
         sparse affine map whose dynamic cells index into ``scalars``;
-        ``("aperture", x_idx, y_idx, shape)`` multiplies the survival
-        weights by the aperture mask at the current coordinates.
+        ``("aperture", x_idx, y_idx, cx_idx, cy_idx, shape)`` multiplies
+        the survival weights by the aperture mask at the current
+        coordinates offset by the ``(cx, cy)`` plane centers (zeros for
+        absolute clouds; the mean's plane image on the centered route —
+        see :func:`sweep_particle_moments`).
     :param scalars: flat tuple of ``(B,)`` per-setting scalar arrays
-        (composed map cells, aperture half-widths).
+        (composed map cells, aperture half-widths, plane centers).
+
+    Two Pallas execution strategies (auto-selected; ``PACKED_MOMENT_SWEEP``
+    forces): the VMEM-resident per-setting walk
+    (``_moment_sweep_kernel``), and for B >= 16 the packed-Gram kernel
+    (``_moment_sweep_packed_impl``) that evaluates only the aperture masks
+    per setting and rides the 16-settings-packed MXU Gram for all moment
+    reductions.
     :param particles: ``(N, 7)`` shared cloud.
     :param weights: ``(N,)`` initial survival weights (zeros for padding).
     :return: ``(s1, s2, w_sum)`` — ``(B, 7)`` weighted coordinate sums,
@@ -773,9 +1042,17 @@ def fused_particle_moment_sweep(
     if not use_pallas:
         return _moment_sweep_reference(entries, scalars, particles, weights)
 
+    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    use_packed = PACKED_MOMENT_SWEEP
+    if use_packed is None:
+        use_packed = B >= _PACK_SETTINGS
+    impl = (
+        _moment_sweep_packed_impl if use_packed else _moment_sweep_pallas_impl
+    )
+
     @jax.custom_vjp
     def sweep(scalars, particles, weights):
-        return _moment_sweep_pallas_impl(entries, scalars, particles, weights)
+        return impl(entries, scalars, particles, weights)
 
     def fwd(scalars, particles, weights):
         return sweep(scalars, particles, weights), (

@@ -168,6 +168,42 @@ def test_pallas_kernel_matches_reference(interpreted_pallas, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("with_aperture", [False, True])
+def test_packed_gram_kernel_matches_reference(
+    interpreted_pallas, monkeypatch, with_aperture
+):
+    """The packed-Gram route (16 settings per MXU Gram; aperture masks via
+    sparse prefix rows; final sums via the exact affine-image sandwich)
+    must match the reference walk."""
+    monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", True)
+    B = 21  # not a multiple of 16: exercises the setting padding
+    beam = _beam(n=700, dtype=jnp.float32)
+    elements = _elements(B, with_aperture=with_aperture, dtype=jnp.float32)
+    plan = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    entries, scalars = plan
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+
+    mu_k, cov_k, w_k = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", False)
+    mu_r, cov_r, w_r = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mu_k), np.asarray(mu_r), rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_k), np.asarray(cov_r), rtol=1e-3, atol=1e-13
+    )
+
+
 def test_sweep_gradients_flow(interpreted_pallas):
     B = 4
     beam = _beam(n=500, dtype=jnp.float32)
