@@ -62,7 +62,8 @@ SWEEP_BATCH = 100_000
 #: route — monotone in B; 512 is a realistic RL population size and
 #: already 92x the 1e6 north star.
 PARTICLE_ENV_BATCH = 512
-#: Batch for the per-particle-fidelity (VMEM-resident kernel) metric.
+#: Batch for the per-particle-fidelity kernel metric (the packed-Gram
+#: sweep auto-routes at B >= 16; 256 = 16 full MXU sublane groups).
 PARTICLE_KERNEL_BATCH = 256
 #: Per-device settings batch for the virtual scaling-efficiency metric.
 SCALING_PER_DEVICE = 4096
