@@ -114,3 +114,16 @@ def test_fodo_lattice_model():
     np.testing.assert_allclose(
         np.asarray(out_m.sigma_x), np.asarray(out.sigma_x), rtol=1e-6
     )
+
+
+def test_particle_fidelity_sweep_example_runs():
+    """examples/particle_fidelity_sweep.py end to end at tiny sizes."""
+    import pathlib
+    import sys
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).parent.parent / "examples")
+    )
+    import particle_fidelity_sweep
+
+    particle_fidelity_sweep.main(B=4, N=500)
