@@ -39,14 +39,20 @@ _sys.path.insert(0, str(_REPO))
 
 def _measure_throughput(mesh, per_device: int) -> float:
     """Env-steps/s of the batch-sharded ParameterBeam settings sweep on the
-    given mesh (weak workload: ``per_device * mesh size`` settings)."""
+    given mesh (weak workload: ``per_device * mesh size`` settings).
+
+    Multi-host-safe variant of the delta-K harness: global sharded arrays
+    are passed as jit ARGUMENTS (closing over them is illegal across
+    processes) and the loop carry / fetched value is one fully-replicated
+    scalar, which every process can read locally."""
+    import time
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from lynx_tpu.envs import make_env
     from lynx_tpu.envs.ares_ea import default_params
-    from lynx_tpu.profiling import marginal_seconds_per_iter
 
     n = mesh.devices.size
     batch = per_device * n
@@ -64,15 +70,25 @@ def _measure_throughput(mesh, per_device: int) -> float:
         params,
     )
 
-    def step(carry):
-        m, eps = carry
-        out = env.batched_beam_parameters(m + eps, params)
-        return m, jnp.sum(out) * jnp.float32(1e-30)
+    def run(K: int) -> float:
+        @jax.jit
+        def chained(magnets, params, eps):
+            def body(i, e):
+                out = env.batched_beam_parameters(magnets + e, params)
+                return jnp.sum(out).astype(jnp.float32) * jnp.float32(1e-30)
 
-    per_call = marginal_seconds_per_iter(
-        step, (magnets, jnp.float32(0.0)), 8, 64
-    )
-    return batch / per_call
+            return jax.lax.fori_loop(0, K, body, eps)
+
+        float(chained(magnets, params, jnp.float32(0.0)))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            float(chained(magnets, params, jnp.float32(0.0)))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    t_small, t_large = run(8), run(64)
+    return batch / max((t_large - t_small) / 56, 1e-12)
 
 
 def run_virtual(per_device: int, max_devices: int) -> dict:
@@ -136,18 +152,30 @@ def run_virtual(per_device: int, max_devices: int) -> dict:
 
 def run_distributed(per_device: int) -> dict:
     """Same metric across real processes (one per host): launch this script
-    with ``--distributed`` on every host (see docs/distributed.md)."""
+    with ``--distributed`` on every host (see docs/distributed.md).  TPU
+    pod slices auto-discover the coordinator; other clusters export
+    ``COORDINATOR`` (host:port), ``NPROC`` and ``PROC_ID``."""
     import jax
     from jax.sharding import Mesh
 
     from lynx_tpu.parallel.distributed import initialize
 
-    initialize()
+    coordinator = os.environ.get("COORDINATOR")
+    if coordinator:
+        initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ["NPROC"]),
+            process_id=int(os.environ["PROC_ID"]),
+        )
+    else:
+        initialize()
     devices = jax.devices()
     mesh_full = Mesh(devices, ("batch",))
     t_full = _measure_throughput(mesh_full, per_device)
-    # Single-device reference measured locally on this process's first chip.
-    mesh_one = Mesh(devices[:1], ("batch",))
+    # Single-device reference measured on each process's OWN first chip (a
+    # remote process cannot address another host's device; this is pure
+    # local compute, so processes cannot deadlock on it).
+    mesh_one = Mesh(jax.local_devices()[:1], ("batch",))
     t_one = _measure_throughput(mesh_one, per_device)
     summary = {
         "scaling_efficiency": round(t_full / (len(devices) * t_one), 4),
@@ -192,6 +220,13 @@ if __name__ == "__main__":
             os.environ["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count=8"
             ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("SCALING_FORCE_CPU"):
+        # CPU multi-process smoke runs (tests/test_scaling_harness.py):
+        # the JAX_PLATFORMS env var is ignored when an accelerator plugin
+        # is installed — the platform must be forced from Python.
         import jax
 
         jax.config.update("jax_platforms", "cpu")

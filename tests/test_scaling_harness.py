@@ -1,0 +1,101 @@
+"""Scaling-efficiency harness: the exact commands docs/distributed.md
+tells a pod operator to run must work end to end here, virtually — so a
+pod-day is a launch, not a harness-debugging session (VERDICT r3 #5).
+
+* virtual mode: one process, 8 fake CPU devices, partition-overhead
+  summary (the ``scaling_efficiency_virtual`` bench metric's source).
+* distributed mode: TWO real OS processes over Gloo (the multi-host fake
+  backend), coordinator from env vars — emits the true weak-scaling
+  summary from process 0.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPT = REPO / "benchmarks" / "scaling_efficiency.py"
+
+
+def _env(extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (str(REPO), env.get("PYTHONPATH")) if p
+    )
+    env.update(extra or {})
+    return env
+
+
+def _last_json(text: str) -> dict:
+    for line in reversed(text.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise AssertionError(f"no JSON summary in output:\n{text[-2000:]}")
+
+
+def test_virtual_mode_emits_partition_overhead_summary():
+    proc = subprocess.run(
+        [sys.executable, str(SCRIPT), "--per-device", "128"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=_env(),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = _last_json(proc.stdout)
+    assert summary["mode"] == "virtual"
+    assert summary["devices"] == 8
+    assert 0.0 < summary["scaling_efficiency_virtual"] <= 1.5
+
+
+def test_distributed_mode_runs_across_two_processes():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for rank in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    str(SCRIPT),
+                    "--distributed",
+                    "--per-device",
+                    "64",
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=REPO,
+                env=_env(
+                    {
+                        "COORDINATOR": f"localhost:{port}",
+                        "NPROC": "2",
+                        "PROC_ID": str(rank),
+                        "SCALING_FORCE_CPU": "1",
+                    }
+                ),
+            )
+        )
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError("distributed scaling worker timed out")
+        outputs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-2000:]}"
+    summary = _last_json(outputs[0])
+    assert summary["mode"] == "distributed"
+    assert summary["hosts"] == 2
+    assert summary["env_steps_per_s"] > 0
+    assert 0.0 < summary["scaling_efficiency"] <= 3.0
