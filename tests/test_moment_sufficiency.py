@@ -117,6 +117,77 @@ def test_moment_path_is_exact_through_linear_lattice(survival):
         )
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_moment_path_exactness_fuzz(seed):
+    """Randomized linear lattices (f64): the moment route must match the
+    dense particle push to accumulation rounding on every draw — the
+    algebraic claim, not a single fixture."""
+    rng = np.random.default_rng(seed)
+    elements = []
+    for _ in range(rng.integers(3, 9)):
+        kind = rng.integers(0, 6)
+        f64 = jnp.float64
+        if kind == 0:
+            elements.append(
+                lt.Drift(jnp.array([rng.uniform(0.05, 1.0)], f64), dtype=f64)
+            )
+        elif kind == 1:
+            elements.append(
+                lt.Quadrupole(
+                    jnp.array([rng.uniform(0.05, 0.3)], f64),
+                    k1=jnp.array([rng.uniform(-20, 20)], f64),
+                    tilt=jnp.array([rng.uniform(-0.3, 0.3)], f64),
+                    dtype=f64,
+                )
+            )
+        elif kind == 2:
+            elements.append(
+                lt.Dipole(
+                    jnp.array([rng.uniform(0.1, 0.5)], f64),
+                    angle=jnp.array([rng.uniform(-0.1, 0.1)], f64),
+                    e1=jnp.array([rng.uniform(-0.05, 0.05)], f64),
+                    dtype=f64,
+                )
+            )
+        elif kind == 3:
+            elements.append(
+                lt.Solenoid(
+                    jnp.array([rng.uniform(0.1, 0.4)], f64),
+                    k=jnp.array([rng.uniform(0.0, 5.0)], f64),
+                    dtype=f64,
+                )
+            )
+        elif kind == 4:
+            cls = (
+                lt.HorizontalCorrector
+                if rng.integers(0, 2)
+                else lt.VerticalCorrector
+            )
+            elements.append(
+                cls(
+                    jnp.array([rng.uniform(0.01, 0.1)], f64),
+                    angle=jnp.array([rng.uniform(-3e-3, 3e-3)], f64),
+                    dtype=f64,
+                )
+            )
+        else:
+            elements.append(lt.Marker())
+    segment = lt.Segment(elements)
+    beam = _sampled_beam(key=100 + seed, n=1500, survival=bool(seed % 2))
+    assert moment_sufficient(segment, beam)
+
+    out_particles, _ = track(segment, beam)
+    out_moments, _ = track(segment, beam.as_parameter_beam())
+    for name in STAT_NAMES:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_moments, name)),
+            np.asarray(getattr(out_particles, name)),
+            rtol=1e-9,
+            atol=1e-17,
+            err_msg=f"seed {seed}: {name}",
+        )
+
+
 def test_moment_sufficient_rejects_per_particle_elements():
     beam = _sampled_beam()
     drift = lt.Drift(length=jnp.array([0.2], jnp.float64))
