@@ -34,10 +34,22 @@ STEPS = [
     ("tpu_validation", [sys.executable, "benchmarks/tpu_validation.py"], 1800),
     ("particle_ab", [sys.executable, "benchmarks/particle_ab.py"], 1800),
     ("breakdown", [sys.executable, "benchmarks/breakdown.py"], 1800),
+    # Round-4 A/Bs: flagship dispatch modes, observation-method routing,
+    # aperture-fidelity kernels (all skipped by --quick).
+    (
+        "batched_breakdown",
+        [sys.executable, "benchmarks/batched_breakdown.py"],
+        2400,
+    ),
+    (
+        "aperture_sweep_ab",
+        [sys.executable, "benchmarks/aperture_sweep_ab.py"],
+        2400,
+    ),
     # Budget > bench's internal probe (<=180 s) + measurement subprocess
     # timeout (2100 s) + CPU-fallback run, so bench always self-terminates
     # before the runbook's kill.
-    ("bench", [sys.executable, "bench.py", "--update-baseline"], 3000),
+    ("bench", [sys.executable, "bench.py", "--update-baseline"], 3600),
 ]
 
 
@@ -82,7 +94,12 @@ def main() -> int:
         if args.skip_validation and name == "tpu_validation":
             statuses[name] = "skipped"
             continue
-        if args.quick and name in ("particle_ab", "breakdown"):
+        if args.quick and name in (
+            "particle_ab",
+            "breakdown",
+            "batched_breakdown",
+            "aperture_sweep_ab",
+        ):
             statuses[name] = "skipped"
             continue
         log = RESULTS / f"{stamp}_{name}.log"
