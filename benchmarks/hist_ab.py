@@ -29,7 +29,6 @@ _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
 
 import argparse
 import json
-from functools import partial
 
 import jax
 import jax.numpy as jnp
