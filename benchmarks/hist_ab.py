@@ -34,10 +34,11 @@ import jax
 import jax.numpy as jnp
 
 
-def make_kernel(win_x, win_y, tile_n, compare_dtype, pretrans):
+def make_kernel(win_x, win_y, tile_n, compare_dtype, pretrans, halves=None):
     from jax.experimental import pallas as pl
 
-    halves = 2 if tile_n % 2048 == 0 else 1
+    if halves is None:
+        halves = 2 if tile_n % 2048 == 0 else 1
     chunk = tile_n // halves
 
     def kernel(lx_ref, ly_ref, out_ref):
@@ -102,7 +103,8 @@ def run_variant(name, spec, lx, ly, win_x, win_y):
         ly = jnp.pad(ly, (0, pad), constant_values=-1)
 
     kernel = make_kernel(
-        win_x, win_y, tile_n, spec["compare_dtype"], spec["pretrans"]
+        win_x, win_y, tile_n, spec["compare_dtype"], spec["pretrans"],
+        halves=spec.get("halves"),
     )
     vec_spec = pl.BlockSpec(
         (tile_n,), lambda b, i: (b * n_tiles + i,), memory_space=pltpu.VMEM
@@ -156,6 +158,9 @@ def main() -> None:
         "pretransA": dict(tile_n=2048, compare_dtype=jnp.int32, pretrans=True),
         "chunk2048": dict(tile_n=4096, compare_dtype=jnp.int32, pretrans=False),
         "i16_pretA": dict(tile_n=2048, compare_dtype=jnp.int16, pretrans=True),
+        "pretA_h1": dict(tile_n=2048, compare_dtype=jnp.int32, pretrans=True, halves=1),
+        "pretA_h4": dict(tile_n=2048, compare_dtype=jnp.int32, pretrans=True, halves=4),
+        "pretA_t4096h2": dict(tile_n=4096, compare_dtype=jnp.int32, pretrans=True, halves=2),
     }
 
     key = jax.random.PRNGKey(0)
