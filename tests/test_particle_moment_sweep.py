@@ -261,6 +261,78 @@ def test_env_kernel_method_matches_particles():
     )
 
 
+def test_packed_handles_multiple_apertures(interpreted_pallas, monkeypatch):
+    """Two apertures with distinct prefix maps: each mask must evaluate at
+    its own plane (prefix-row encoding), not the final coordinates."""
+    monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", True)
+    B = 16
+    beam = _beam(n=600, dtype=jnp.float32)
+    elements = [
+        lt.Drift(jnp.array([0.2])),
+        lt.Aperture(
+            x_max=jnp.array([2.5e-4]), y_max=jnp.array([2.5e-4]),
+            is_active=True,
+        ),
+        lt.Quadrupole(jnp.array([0.12]), k1=jnp.linspace(-6, 6, B)),
+        lt.Drift(jnp.array([0.5])),
+        lt.Aperture(
+            x_max=jnp.array([2e-4]), y_max=jnp.array([5e-4]),
+            shape="elliptical", is_active=True,
+        ),
+        lt.Drift(jnp.array([0.1])),
+    ]
+    entries, scalars = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    assert sum(e[0] == "aperture" for e in entries) == 2
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+    mu_k, cov_k, w_k = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", False)
+    mu_r, cov_r, w_r = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mu_k), np.asarray(mu_r), rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_k), np.asarray(cov_r), rtol=1e-3, atol=1e-13
+    )
+    # Both apertures actually cut.
+    dense = _dense_reference(elements, _beam(n=600, dtype=jnp.float32), B)
+    np.testing.assert_allclose(
+        np.asarray(w_r),
+        np.asarray(dense.num_particles_survived),
+        rtol=1e-6,
+    )
+    assert float(jnp.min(w_r)) < 600
+
+
+def test_walk_kernel_routes_reference_above_vmem_cap(monkeypatch):
+    """N beyond the VMEM-resident cap must fall back to the XLA reference
+    (not crash) on the walk route."""
+    monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", False)
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", True)
+    monkeypatch.setattr(pallas_track, "MOMENT_SWEEP_MAX_PARTICLES", 256)
+    B = 4
+    beam = _beam(n=512, dtype=jnp.float32)  # > the (patched) cap
+    elements = _elements(B, with_aperture=True, dtype=jnp.float32)
+    entries, scalars = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+    mu, cov, w = sweep_particle_moments(entries, scalars, particles, weights)
+    assert bool(jnp.all(jnp.isfinite(mu))) and bool(jnp.all(w > 0))
+
+
 def test_plan_rejects_active_screen():
     B = 3
     elements = [

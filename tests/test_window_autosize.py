@@ -141,3 +141,25 @@ def test_fallback_counter_works_under_jit(interpreted_pallas):
     fn()
     jax.effects_barrier()
     assert hist.histogram_fallback_count() >= 1
+
+
+def test_window_fits_full_window_early_exit():
+    """A window covering the whole image trivially fits (the router skips
+    windowing entirely)."""
+    x = jnp.array([0.1, 0.9])
+    y = jnp.array([0.2, 0.8])
+    fits = hist.window_fits(
+        x, y, jnp.ones((2,)), (0.0, 1.0), (0.0, 1.0), (64, 128), (64, 128)
+    )
+    assert bool(np.all(np.asarray(fits)))
+
+
+def test_window_fits_ignores_dead_particles():
+    """Zero-weight particles outside the window must not force a fallback."""
+    x = jnp.array([0.5, 0.99])  # second particle far away...
+    y = jnp.array([0.5, 0.99])
+    w = jnp.array([1.0, 0.0])  # ...but dead
+    fits = hist.window_fits(
+        x, y, w, (0.0, 1.0), (0.0, 1.0), (1024, 1024), (8, 128)
+    )
+    assert bool(np.all(np.asarray(fits)))
