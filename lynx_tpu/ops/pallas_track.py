@@ -832,8 +832,14 @@ def _packed_gram_kernel(aperture_specs, num_scalars, *refs):
     out_ref = refs[num_scalars + 2]  # (1, 128, 8)
     pack_ref = refs[num_scalars + 3]  # scratch (128, CHUNK)
 
-    c = pl.program_id(0)
-    g = pl.program_id(1)
+    # Grid is (groups, n_chunks): the chunk reduction MUST be the innermost
+    # (fastest-iterating, i.e. last) grid dimension so each output block
+    # ``g`` is visited consecutively — Pallas TPU does not preserve output
+    # buffers across non-consecutive revisits, so the ``c != 0``
+    # accumulation below would read stale data under the swapped order
+    # (wrong moments whenever n_chunks > 1 AND groups > 1).
+    g = pl.program_id(0)
+    c = pl.program_id(1)
 
     aug = [aug_ref[j, :] for j in range(8)]
     w0 = w_ref[0, :]
@@ -942,17 +948,17 @@ def _moment_sweep_packed_impl(entries, scalars, particles, weights):
     num_scalars = len(extended)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=num_scalars,
-        grid=(n_chunks, groups),
+        grid=(groups, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (8, chunk), lambda c, g, *s: (0, c), memory_space=pltpu.VMEM
+                (8, chunk), lambda g, c, *s: (0, c), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, chunk), lambda c, g, *s: (0, c), memory_space=pltpu.VMEM
+                (1, chunk), lambda g, c, *s: (0, c), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 128, 8), lambda c, g, *s: (g, 0, 0), memory_space=pltpu.VMEM
+            (1, 128, 8), lambda g, c, *s: (g, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((128, chunk), dtype)],
     )

@@ -204,6 +204,109 @@ def test_packed_gram_kernel_matches_reference(
     )
 
 
+def test_packed_gram_multichunk_multigroup_parity(
+    interpreted_pallas, monkeypatch
+):
+    """N spanning several particle chunks AND B spanning several 16-setting
+    groups: the output block for group g is revisited once per chunk, so
+    this pins the (groups, n_chunks) grid order — chunk reduction innermost.
+    With the dims swapped, Pallas TPU does not preserve the output buffer
+    across the non-consecutive revisits and the accumulated moments are
+    stale/wrong (the interpreter raises 'Revisited block' for it)."""
+    monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", True)
+    monkeypatch.setattr(pallas_track, "_PACK_CHUNK", 4096)
+    B = 48  # 3 groups of 16
+    beam = _beam(n=20_000, dtype=jnp.float32)  # 5 chunks of 4096
+    elements = _elements(B, with_aperture=True, dtype=jnp.float32)
+    plan = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    entries, scalars = plan
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+
+    mu_k, cov_k, w_k = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", False)
+    mu_r, cov_r, w_r = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mu_k), np.asarray(mu_r), rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_k), np.asarray(cov_r), rtol=1e-3, atol=1e-13
+    )
+
+
+def test_packed_vs_walk_precision_bound(interpreted_pallas, monkeypatch):
+    """Pins the documented packed-Gram precision trade (STATUS.md): over
+    randomized aperture sweeps, the packed kernel's covariances stay within
+    1e-4 relative of the walk kernel's, so the 9x-throughput default cannot
+    silently degrade.  (On device the gap is MXU rounding, ~4.5e-5; in
+    interpret mode both run f32 — the bound must still hold.)"""
+    rng = np.random.default_rng(7)
+    B = 24
+    for trial in range(3):
+        beam = lt.ParticleBeam.from_parameters(
+            num_particles=1500,
+            mu_x=jnp.array([float(rng.uniform(-5e-5, 5e-5))]),
+            sigma_x=jnp.array([float(rng.uniform(1e-4, 3e-4))]),
+            sigma_y=jnp.array([float(rng.uniform(1e-4, 3e-4))]),
+            sigma_p=jnp.array([2e-3]),
+            energy=jnp.array([1.073e8]),
+            key=jax.random.PRNGKey(100 + trial),
+            dtype=jnp.float32,
+        )
+        elements = [
+            lt.Drift(jnp.array([float(rng.uniform(0.1, 0.5))])),
+            lt.Quadrupole(
+                jnp.array([0.12]),
+                k1=jnp.asarray(rng.uniform(-8, 8, B), jnp.float32),
+            ),
+            lt.Aperture(
+                x_max=jnp.array([float(rng.uniform(1.5e-4, 4e-4))]),
+                y_max=jnp.array([float(rng.uniform(1.5e-4, 4e-4))]),
+                shape=("rectangular", "elliptical")[trial % 2],
+                is_active=True,
+            ),
+            lt.Drift(jnp.array([0.3])),
+        ]
+        entries, scalars = particle_moment_plan(
+            elements,
+            beam.energy,
+            lambda x: jnp.broadcast_to(
+                jnp.reshape(jnp.asarray(x), (-1,)), (B,)
+            ),
+        )
+        particles = beam.particles[0]
+        weights = jnp.ones(particles.shape[:1], particles.dtype)
+
+        monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", True)
+        mu_p, cov_p, w_p = sweep_particle_moments(
+            entries, scalars, particles, weights
+        )
+        monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", False)
+        mu_w, cov_w, w_w = sweep_particle_moments(
+            entries, scalars, particles, weights
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_p), np.asarray(w_w), rtol=1e-6
+        )
+        scale = np.abs(np.asarray(cov_w)).max(axis=(-1, -2), keepdims=True)
+        err = np.abs(np.asarray(cov_p) - np.asarray(cov_w))
+        bound = np.broadcast_to(1e-4 * scale + 1e-16, err.shape)
+        np.testing.assert_array_less(
+            err,
+            bound,
+            err_msg=f"packed cov deviates >1e-4 relative (trial {trial})",
+        )
+
+
 def test_sweep_gradients_flow(interpreted_pallas):
     B = 4
     beam = _beam(n=500, dtype=jnp.float32)
