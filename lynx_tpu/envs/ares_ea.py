@@ -215,7 +215,11 @@ class AresEATransverseTuning:
         )
 
     def batched_particle_beam_parameters(
-        self, magnets: Array, beam: "lt.ParticleBeam", method: str = "auto"
+        self,
+        magnets: Array,
+        beam: "lt.ParticleBeam",
+        method: str = "auto",
+        platform: "str | None" = None,
     ) -> Array:
         """Full-fidelity observation: track a macro-particle beam through the
         tuned EA and return the ``(B, 4)`` sample-moment beam parameters
@@ -254,11 +258,15 @@ class AresEATransverseTuning:
                 "moments" if moment_sufficient(tuned, beam) else "particles"
             )
         if method == "moments":
-            outgoing, _ = track(tuned, beam.as_parameter_beam())
+            outgoing, _ = track(
+                tuned, beam.as_parameter_beam(), platform=platform
+            )
         elif method == "kernel":
-            return self._kernel_particle_beam_parameters(magnets, tuned, beam)
+            return self._kernel_particle_beam_parameters(
+                magnets, tuned, beam, platform
+            )
         elif method == "particles":
-            outgoing, _ = track(tuned, beam)
+            outgoing, _ = track(tuned, beam, platform=platform)
         else:
             raise ValueError(
                 f"unknown method {method!r}"
@@ -270,7 +278,11 @@ class AresEATransverseTuning:
         )
 
     def _kernel_particle_beam_parameters(
-        self, magnets: Array, tuned: "lt.Segment", beam: "lt.ParticleBeam"
+        self,
+        magnets: Array,
+        tuned: "lt.Segment",
+        beam: "lt.ParticleBeam",
+        platform: "str | None" = None,
     ) -> Array:
         """Particle-fidelity observation through the settings-amortized
         VMEM-resident moment sweep (``ops/pallas_track.
@@ -308,7 +320,7 @@ class AresEATransverseTuning:
         )
         entries, scalars = plan
         mu, cov, _ = sweep_particle_moments(
-            entries, scalars, particles, weights
+            entries, scalars, particles, weights, platform
         )
         return jnp.stack(
             [

@@ -131,13 +131,22 @@ def window_fits(
     y_range,
     bins: Tuple[int, int],
     window,
+    per_row: bool = True,
 ) -> Array:
     """Pure audit of the windowed-histogram routing decision: True where
     every live particle lands inside the (origin-tracked) static window —
     i.e. the read takes the MXU fast path, False = the exact-but-~4x
     scatter fallback.  Works on every backend (no host callback), under
     jit, and over batches; use it to validate a working point against a
-    window size."""
+    window size.
+
+    The actual routing inside one :func:`windowed_matmul_histogram_2d`
+    call is all-or-nothing over the WHOLE batched read (one ``lax.cond``):
+    a row reported True here still takes the scatter fallback when any
+    other row in the same call overflows (ADVICE r4).  ``per_row=True``
+    (default) returns the per-row diagnostic (which row overflowed);
+    ``per_row=False`` reduces over all batch dims and returns the scalar
+    verdict that matches the call's routing decision."""
     nx, ny = int(bins[0]), int(bins[1])
     window_x, window_y = (
         (int(window), int(window))
@@ -147,6 +156,8 @@ def window_fits(
     win_x = min(_round_up(window_x, 8), _round_up(nx, 8))
     win_y = min(_round_up(window_y, 128), _round_up(ny, 128))
     if win_x >= nx and win_y >= ny:
+        if not per_row:
+            return jnp.ones((), bool)
         return jnp.ones(jnp.shape(x)[:-1], bool)
 
     def index(v, lo, hi, n):
@@ -165,11 +176,25 @@ def window_fits(
     lx = ix - origin(ix, nx, win_x)[..., None]
     ly = iy - origin(iy, ny, win_y)[..., None]
     in_window = (lx >= 0) & (lx < win_x) & (ly >= 0) & (ly < win_y)
-    return ~jnp.any(live & ~in_window, axis=-1)
+    fits = ~jnp.any(live & ~in_window, axis=-1)
+    return fits if per_row else jnp.all(fits)
 
 
-def _note_fallback() -> None:
-    _FALLBACK_STATE["count"] += 1
+def _note_fallback(fits=None) -> None:
+    """Count scatter fallbacks.  ``fits`` is the concrete routing predicate
+    (scalar, or batched under user-level ``vmap`` — where ``lax.cond``
+    lowers to ``select`` and BOTH branches execute, so this callback fires
+    even for reads the MXU path served; ADVICE r4).  Only entries that
+    actually fell back (``fits == False``) are counted."""
+    if fits is not None:
+        import numpy as np
+
+        misses = int(np.size(fits) - np.count_nonzero(np.asarray(fits)))
+        if misses == 0:
+            return
+        _FALLBACK_STATE["count"] += misses
+    else:
+        _FALLBACK_STATE["count"] += 1
     count = _FALLBACK_STATE["count"]
     if count & (count - 1) == 0:  # log at 1, 2, 4, 8, ... (no spam)
         from lynx_tpu.log import get_logger
@@ -467,7 +492,7 @@ def windowed_matmul_histogram_2d(
             # rejects them at compile time even in the untaken branch) —
             # audit those with :func:`window_fits` instead.
             if _callbacks_supported():
-                jax.debug.callback(_note_fallback)
+                jax.debug.callback(_note_fallback, fits)
             return weighted_histogram_2d(
                 x, y, weights, (x_lo, x_hi), (y_lo, y_hi), (nx, ny)
             )

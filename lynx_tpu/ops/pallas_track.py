@@ -1017,6 +1017,7 @@ def fused_particle_moment_sweep(
     scalars: tuple,
     particles: Array,
     weights: Array,
+    platform: "str | None" = None,
 ) -> Tuple[Array, Array, Array]:
     """Survival-weighted moment sums of ONE shared particle cloud observed
     under B settings, with the cloud resident in VMEM across all settings.
@@ -1050,7 +1051,13 @@ def fused_particle_moment_sweep(
     """
     use_pallas = PARTICLE_MOMENT_SWEEP_PATH
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Device-resolved routing, mirroring segment._fused_flush (ADVICE
+        # r4): an explicit ``platform`` wins, else the committed device of
+        # the particle array, else the default backend — so a CPU-committed
+        # beam in a TPU process takes the XLA reference, not the kernel.
+        from lynx_tpu.accelerator.segment import resolve_platform
+
+        use_pallas = resolve_platform(particles, platform) == "tpu"
     if not use_pallas:
         return _moment_sweep_reference(entries, scalars, particles, weights)
 
@@ -1184,6 +1191,7 @@ def sweep_particle_moments(
     scalars: tuple,
     particles: Array,
     weights: Array,
+    platform: "str | None" = None,
 ) -> Tuple[Array, Array, Array]:
     """Numerically-hardened moment sweep: returns per-setting
     ``(mu (B, 7), cov (B, 7, 7), w_sum (B,))`` of the shared cloud after
@@ -1233,7 +1241,7 @@ def sweep_particle_moments(
             )
 
     s1, s2, w_sum = fused_particle_moment_sweep(
-        tuple(kernel_entries), tuple(extra), delta, weights
+        tuple(kernel_entries), tuple(extra), delta, weights, platform
     )
     total = jnp.where(w_sum == 0, 1.0, w_sum)
     shift = s1 / total[..., None]

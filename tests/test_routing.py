@@ -99,6 +99,69 @@ def test_tpu_routed_graph_compiles_from_cpu_without_global_knobs(monkeypatch):
     )
 
 
+def test_particle_moment_sweep_routes_by_platform(monkeypatch):
+    """``sweep_particle_moments`` must resolve its path like the rest of
+    ``track`` (ADVICE r4): ``platform="cpu"`` (or a CPU-committed cloud)
+    takes the XLA reference even when the process default is TPU; the
+    Pallas kernel is only entered on the tpu route."""
+    from lynx_tpu.accelerator.fused import particle_moment_plan
+
+    B = 4
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=500,
+        sigma_x=jnp.array([1.75e-4]),
+        energy=jnp.array([1e8]),
+        key=jax.random.PRNGKey(0),
+        dtype=jnp.float32,
+    )
+    elements = [
+        lt.Drift(jnp.array([0.3])),
+        lt.Quadrupole(jnp.array([0.12]), k1=jnp.linspace(-5, 5, B)),
+    ]
+    entries, scalars = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+
+    assert pallas_track.PARTICLE_MOMENT_SWEEP_PATH is None
+    original_pallas_call = pl.pallas_call
+
+    def forbidden(*args, **kwargs):  # pragma: no cover - failure path
+        raise AssertionError("pallas kernel entered on the cpu route")
+
+    monkeypatch.setattr(pallas_track.pl, "pallas_call", forbidden)
+    # Explicit platform override wins.
+    mu_c, cov_c, w_c = pallas_track.sweep_particle_moments(
+        entries, scalars, particles, weights, platform="cpu"
+    )
+    # Committed-device resolution: a CPU-committed cloud routes cpu too.
+    cpu_dev = jax.devices("cpu")[0]
+    mu_d, cov_d, w_d = pallas_track.sweep_particle_moments(
+        entries,
+        tuple(jax.device_put(s, cpu_dev) for s in scalars),
+        jax.device_put(particles, cpu_dev),
+        jax.device_put(weights, cpu_dev),
+    )
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_d), rtol=1e-6)
+
+    # The tpu route does enter the kernel (interpret-mode substitution).
+    monkeypatch.setattr(
+        pallas_track.pl,
+        "pallas_call",
+        functools.partial(original_pallas_call, interpret=True),
+    )
+    mu_t, cov_t, w_t = pallas_track.sweep_particle_moments(
+        entries, scalars, particles, weights, platform="tpu"
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_t), np.asarray(mu_c), rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(w_t), np.asarray(w_c), rtol=1e-6)
+
+
 def test_functional_track_threads_platform(monkeypatch):
     calls = []
     original = pallas_track.fused_moment_sweep_plan

@@ -281,3 +281,60 @@ def test_binary_weights_count_kernel(interpreted_pallas):
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     assert float(out.sum()) == pytest.approx(float(w.sum()))
+
+
+def test_fallback_counter_not_incremented_by_vmapped_fast_path(
+    interpreted_pallas,
+):
+    """Under user-level vmap the routing ``lax.cond`` lowers to ``select``
+    and BOTH branches execute — the fallback callback fires even for reads
+    the MXU path served.  The counter must only count rows whose concrete
+    ``fits`` was False (ADVICE r4)."""
+    hist_mod.reset_histogram_fallback_count()
+    B, n = 3, 1_000
+    x, y = _spot(jax.random.PRNGKey(8), B * n, 12.0, (280.0, 240.0), BINS, RANGES)
+    x = x.reshape(B, n)
+    y = y.reshape(B, n)
+    w = jnp.ones((B, n))
+    out = jax.vmap(
+        lambda x, y, w: windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    )(x, y, w)
+    jax.effects_barrier()
+    assert out.shape == (B, *BINS)
+    assert hist_mod.histogram_fallback_count() == 0
+
+    # A genuinely overflowing row IS counted (scalar serial read).
+    kx, ky = jax.random.split(jax.random.PRNGKey(9))
+    xu = jax.random.uniform(kx, (n,), minval=RANGES[0][0], maxval=RANGES[0][1])
+    yu = jax.random.uniform(ky, (n,), minval=RANGES[1][0], maxval=RANGES[1][1])
+    windowed_matmul_histogram_2d(xu, yu, jnp.ones_like(xu), *RANGES, BINS)
+    jax.effects_barrier()
+    assert hist_mod.histogram_fallback_count() == 1
+
+
+def test_window_fits_whole_batch_reduction():
+    """``per_row=False`` returns the scalar verdict that matches the
+    all-or-nothing routing of one batched read: False when ANY row
+    overflows, even though other rows individually fit (ADVICE r4)."""
+    n = 1_000
+    x_fit, y_fit = _spot(
+        jax.random.PRNGKey(10), n, 12.0, (280.0, 240.0), BINS, RANGES
+    )
+    kx, ky = jax.random.split(jax.random.PRNGKey(11))
+    x_over = jax.random.uniform(
+        kx, (n,), minval=RANGES[0][0], maxval=RANGES[0][1]
+    )
+    y_over = jax.random.uniform(
+        ky, (n,), minval=RANGES[1][0], maxval=RANGES[1][1]
+    )
+    x = jnp.stack([x_fit, x_over])
+    y = jnp.stack([y_fit, y_over])
+    w = jnp.ones_like(x)
+    per_row = hist_mod.window_fits(x, y, w, *RANGES, BINS, (512, 512))
+    assert per_row.shape == (2,)
+    assert bool(per_row[0]) and not bool(per_row[1])
+    whole = hist_mod.window_fits(
+        x, y, w, *RANGES, BINS, (512, 512), per_row=False
+    )
+    assert whole.shape == ()
+    assert not bool(whole)
