@@ -161,6 +161,14 @@ def main() -> None:
         "pretA_h1": dict(tile_n=2048, compare_dtype=jnp.int32, pretrans=True, halves=1),
         "pretA_h4": dict(tile_n=2048, compare_dtype=jnp.int32, pretrans=True, halves=4),
         "pretA_t4096h2": dict(tile_n=4096, compare_dtype=jnp.int32, pretrans=True, halves=2),
+        # Round-5 variants: larger tiles cut out_ref VMEM accumulate
+        # traffic (2 MB per grid step) and per-step overhead; more halves
+        # per tile deepen the VPU-build / MXU-matmul overlap window.
+        "pretA_t4096h4": dict(tile_n=4096, compare_dtype=jnp.int32, pretrans=True, halves=4),
+        "pretA_t8192h4": dict(tile_n=8192, compare_dtype=jnp.int32, pretrans=True, halves=4),
+        "pretA_t8192h8": dict(tile_n=8192, compare_dtype=jnp.int32, pretrans=True, halves=8),
+        "pretA_t16384h8": dict(tile_n=16384, compare_dtype=jnp.int32, pretrans=True, halves=8),
+        "i16_t8192h8": dict(tile_n=8192, compare_dtype=jnp.int16, pretrans=True, halves=8),
     }
 
     key = jax.random.PRNGKey(0)

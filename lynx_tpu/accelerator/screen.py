@@ -262,13 +262,22 @@ class Screen(Element):
                 mu, incoming._cov, incoming.energy, incoming.total_charge
             )
         elif isinstance(incoming, ParticleBeam):
-            particles = incoming.particles
-            particles = particles.at[..., 0].add(-self.misalignment[..., 0, None])
             # NOTE reference quirk: the y-misalignment is subtracted from the
             # x'-column for particle beams (``screen.py:133-135`` shifts
             # particles[:, :, 1]); we shift y (index 2), the physically
             # meaningful behavior, matching the ParameterBeam branch.
-            particles = particles.at[..., 2].add(-self.misalignment[..., 1, None])
+            # One broadcast subtract over the whole (..., N, 7) cloud: the
+            # per-column ``.at[..., c].add`` form lowered to two
+            # column-strided dynamic-update-slices costing 118 us EACH at
+            # (8, 1e5, 7) on TPU v5 lite (profiled; ~13% of the whole
+            # flagship dispatch) vs ~30 us for the fused elementwise pass.
+            mis = self.misalignment
+            zero = jnp.zeros_like(mis[..., 0])
+            shift = jnp.stack(
+                [mis[..., 0], zero, mis[..., 1], zero, zero, zero, zero],
+                axis=-1,
+            )
+            particles = incoming.particles - shift[..., None, :]
             return ParticleBeam(
                 particles,
                 incoming.energy,

@@ -338,3 +338,56 @@ def test_window_fits_whole_batch_reduction():
     )
     assert whole.shape == ()
     assert not bool(whole)
+
+
+def test_unrolled_placement_distinct_origins(interpreted_pallas):
+    """Batched rows whose spots sit at DIFFERENT image positions (each
+    fitting its own window): the unrolled per-row placement must put
+    every window at its own origin, exactly matching the scatter path."""
+    n = 2_000
+    xa, ya = _spot(jax.random.PRNGKey(13), n, 10.0, (100.0, 100.0), BINS, RANGES)
+    xb, yb = _spot(jax.random.PRNGKey(14), n, 10.0, (500.0, 400.0), BINS, RANGES)
+    x = jnp.stack([xa, xb])
+    y = jnp.stack([ya, yb])
+    w = jnp.ones_like(x)
+    window = (128, 128)
+    assert bool(jnp.all(hist_mod.window_fits(x, y, w, *RANGES, BINS, window)))
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS, window=window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_vmapped_placement_above_unroll_cap(interpreted_pallas, monkeypatch):
+    """Batches beyond _PLACE_UNROLL_MAX take the vmapped placement; the
+    result must be identical."""
+    monkeypatch.setattr(hist_mod, "_PLACE_UNROLL_MAX", 2)
+    B, n = 3, 1_000
+    x, y = _spot(jax.random.PRNGKey(12), B * n, 15.0, (300.0, 250.0), BINS, RANGES)
+    x = x.reshape(B, n)
+    y = y.reshape(B, n)
+    w = jnp.ones((B, n))
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_batched_weight_gradients_match_scatter(interpreted_pallas):
+    """The custom weight-VJP is placement-independent; pin it on the
+    batched (unrolled-placement) path."""
+    B, n = 2, 1_500
+    x, y = _spot(jax.random.PRNGKey(15), B * n, 14.0, (320.0, 260.0), BINS, RANGES)
+    x = x.reshape(B, n)
+    y = y.reshape(B, n)
+    w = jnp.ones((B, n))
+
+    def loss_windowed(w):
+        img = windowed_matmul_histogram_2d(x, y, w, *RANGES, BINS)
+        return jnp.sum(img**2)
+
+    def loss_scatter(w):
+        img = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+        return jnp.sum(img**2)
+
+    gw = jax.grad(loss_windowed)(w)
+    gs = jax.grad(loss_scatter)(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gs), atol=1e-5)
