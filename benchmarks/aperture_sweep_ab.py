@@ -111,8 +111,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--particles", type=int, default=100_000)
     parser.add_argument("--batches", default="32,256")
+    parser.add_argument("--variants", default="kernel,dense")
     args = parser.parse_args()
-    for name, fn in (("kernel", measure_kernel), ("dense", measure_dense)):
+    variants = {"kernel": measure_kernel, "dense": measure_dense}
+    for name, fn in ((v, variants[v]) for v in args.variants.split(",")):
         for B in (int(b) for b in args.batches.split(",")):
             try:
                 rate = fn(B, args.particles)

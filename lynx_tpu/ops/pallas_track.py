@@ -812,107 +812,126 @@ def _packed_prefix_rows(entries, scalars):
     return tuple(aperture_specs), total_layout, tuple(extended)
 
 
-def _packed_gram_kernel(aperture_specs, num_scalars, *refs):
-    """One grid step: for 16 settings, evaluate the aperture masks on this
-    particle chunk (plane positions = sparse prefix rows over the shared
-    deviation rows), pack the 16 x 8 weighted coordinate rows into the 128
-    MXU sublanes, and accumulate one (128, 8) Gram block:
+def _packed_gram_kernel(shapes, row_indices, n_ap, b_pad, chunk, *refs):
+    """One grid step = one particle chunk, ALL settings at once.
 
-        G[s*8 + j, k] = sum_n w_s[n] * aug_j[n] * aug_k[n]
+    Everything O(B * N) is a batched product over the full setting axis
+    (VERDICT r4 kernel redesign #2 — the round-4 variant walked 16
+    settings per step on the VPU, leaving the MXU a narrow
+    (128, chunk) x (chunk, 8) Gram at ~6% lane occupancy):
 
-    with ``aug = [delta_0..delta_6, valid]`` — so each setting's 8x8 block
-    jointly carries its weighted second moments (j,k < 7), first moments
-    (row/col 7) and weight sum (7,7).  The per-setting VPU work is only
-    the aperture plane rows + masks + 8 row scales; the O(N * 64)
-    reduction rides the MXU at full 128-sublane occupancy.
+      plane_x (B, chunk) = P_{a,x}^T (|J|, B) . aug_J (|J|, chunk)
+      plane_y (B, chunk) = P_{a,y}^T ...          (per axis: halves the
+                           VMEM transient; |J| = the STATICALLY nonzero
+                           prefix-row cells — typically 3-5 of 8)
+      W       (B, chunk) = w0 * prod_a mask_a(plane_x, plane_y)
+      G       (B, 64)    = W . pairs (64, chunk)^T              [MXU]
+
+    with ``pairs[j*8+k] = aug_j * aug_k`` (all 64 ordered pairs of the
+    augmented vector ``[delta_0..delta_6, valid]``) shared across ALL
+    settings and built once per chunk — G rows reshape straight into the
+    per-setting symmetric joint-moment matrix: second moments (j, k < 7),
+    first moments (j, 7), weight sum (7, 7).  The per-setting VPU cost collapses to the sparse
+    plane FMAs and mask compares.  The plane products run at HIGHEST
+    precision — masks decide survival, so they get the f32-faithful
+    product; the moment Gram keeps the documented default-precision
+    trade (STATUS.md: ~2e-5 relative covariance rounding for ~9x
+    throughput).
+
+    refs = [P_{0,x}^T, P_{0,y}^T, .. (|J_i|, B)], [bounds_0 ..
+    bounds_{A-1} (B, 8) with columns [x_max, y_max, 1/x_max^2,
+    1/y_max^2, 0...]], aug (8, chunk), w0 (1, chunk), out (B, 128).
     """
-    scalar_refs = refs[:num_scalars]
-    aug_ref = refs[num_scalars]  # (8, CHUNK): deltas + valid row
-    w_ref = refs[num_scalars + 1]  # (1, CHUNK): initial survival
-    out_ref = refs[num_scalars + 2]  # (1, 128, 8)
-    pack_ref = refs[num_scalars + 3]  # scratch (128, CHUNK)
+    plane_refs = refs[: 2 * n_ap]
+    bound_refs = refs[2 * n_ap : 3 * n_ap]
+    aug_ref = refs[3 * n_ap]
+    w_ref = refs[3 * n_ap + 1]
+    out_ref = refs[3 * n_ap + 2]
 
-    # Grid is (groups, n_chunks): the chunk reduction MUST be the innermost
-    # (fastest-iterating, i.e. last) grid dimension so each output block
-    # ``g`` is visited consecutively — Pallas TPU does not preserve output
-    # buffers across non-consecutive revisits, so the ``c != 0``
-    # accumulation below would read stale data under the swapped order
-    # (wrong moments whenever n_chunks > 1 AND groups > 1).
-    g = pl.program_id(0)
-    c = pl.program_id(1)
+    c = pl.program_id(0)
+    aug = aug_ref[...]
 
-    aug = [aug_ref[j, :] for j in range(8)]
-    w0 = w_ref[0, :]
+    def plane(a, axis):
+        # Explicit broadcast-FMA over the (typically 3-5) statically
+        # nonzero prefix-row cells: exact f32 on the VPU, ~|J| fused
+        # passes over (B, chunk) — measured faster than a HIGHEST
+        # precision MXU dot at contraction depth |J| < 8.
+        ref = plane_refs[2 * a + axis]
+        rows = row_indices[a][axis]
+        acc = None
+        for r, j in enumerate(rows):
+            term = ref[r, :][:, None] * aug[j, :][None, :]
+            acc = term if acc is None else acc + term
+        return acc  # (B, chunk)
 
-    for s in range(_PACK_SETTINGS):
-        b = g * _PACK_SETTINGS + s
-        w_s = w0
-        for x_row, y_row, x_idx, y_idx, cx_idx, cy_idx, shape in (
-            aperture_specs
-        ):
-            def plane(row_spec, center_idx):
-                acc = None
-                for j in range(7):
-                    cell = row_spec[j]
-                    if isinstance(cell, float):
-                        if cell == 0.0:
-                            continue
-                        term = aug[j] if cell == 1.0 else cell * aug[j]
-                    else:
-                        term = scalar_refs[cell][b] * aug[j]
-                    acc = term if acc is None else acc + term
-                base = scalar_refs[center_idx][b]
-                return base if acc is None else acc + base
+    W = jnp.broadcast_to(w_ref[...], (b_pad, chunk))
+    for a, shape in enumerate(shapes):
+        bounds = bound_refs[a]
+        px = plane(a, 0)
+        if shape == "rectangular":
+            x_max = bounds[:, 0:1]
+            W = W * ((px > -x_max) & (px < x_max)).astype(W.dtype)
+            py = plane(a, 1)
+            y_max = bounds[:, 1:2]
+            W = W * ((py > -y_max) & (py < y_max)).astype(W.dtype)
+        else:
+            t = px * px * bounds[:, 2:3]
+            py = plane(a, 1)
+            mask = (t + py * py * bounds[:, 3:4]) <= 1.0
+            W = W * mask.astype(W.dtype)
 
-            mask = _aperture_mask(
-                plane(x_row, cx_idx),
-                plane(y_row, cy_idx),
-                scalar_refs[x_idx][b],
-                scalar_refs[y_idx][b],
-                shape,
-            )
-            w_s = w_s * mask.astype(w_s.dtype)
-        for j in range(8):
-            pack_ref[s * 8 + j, :] = w_s * aug[j]
-
-    # (128, CHUNK) x (8, CHUNK) -> (128, 8), contracting the lane axes.
-    # Default MXU precision, deliberately: measured on device, HIGHEST
-    # costs 9x (1.16e6 -> 1.28e5 settings/s) and only improves the
-    # covariance rounding from 4.5e-5 to 1.7e-5 relative — both orders of
-    # magnitude inside f32 statistics noise for 1e5-particle sweeps.
-    # Callers needing walk-kernel accuracy (4e-7) set
-    # ``PACKED_MOMENT_SWEEP = False``.
+    # All 64 (j, k) products, built from sublane-ALIGNED 8-row concats
+    # and broadcasts only — stacking the 36 unique pairs row-by-row cost
+    # ~6 us/step in single-sublane insertion relayouts (ablated on
+    # device); the 28 duplicated rows are free on the MXU because the
+    # dot's output lanes pad to 128 either way.
+    tiled = jnp.concatenate([aug] * 8, axis=0)  # (64, chunk): jk = j*8+k
+    rep = jnp.concatenate(
+        [jnp.broadcast_to(aug[j : j + 1, :], (8, chunk)) for j in range(8)],
+        axis=0,
+    )
+    pairs = tiled * rep  # row j*8+k = aug_j * aug_k
     gram = jax.lax.dot_general(
-        pack_ref[...],
-        aug_ref[...],
+        W,
+        pairs,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (B, 64)
+
+    # The output block is the full (B, 128) buffer with a constant index
+    # map: every grid step maps to the same block, so the cross-chunk
+    # accumulation below is legal (Pallas TPU only forbids accumulating
+    # across NON-consecutive revisits of different block indices — the
+    # round-4 grid keyed 16-setting output blocks by a group id with the
+    # chunk loop OUTER, which revisited each block non-consecutively and
+    # read stale data whenever n_chunks > 1 AND groups > 1).
+    padded = jnp.pad(gram, ((0, 0), (0, 64)))
 
     @pl.when(c == 0)
     def _init():
-        out_ref[0, :, :] = gram
+        out_ref[...] = padded
 
     @pl.when(c != 0)
     def _acc():
-        out_ref[0, :, :] = out_ref[0, :, :] + gram
+        out_ref[...] = out_ref[...] + padded
 
 
 def _moment_sweep_packed_impl(entries, scalars, particles, weights):
     """Packed-Gram moment sweep (the TPU-native fast path for
-    aperture-interleaved sweeps; VERDICT r4 kernel redesign).
+    aperture-interleaved sweeps; VERDICT r4/r5 kernel redesign).
 
     Key algebra: final weights depend on per-particle positions, but the
     final coordinates are an affine image of the incoming ones — so
 
         sum_n w_final (R x)(R x)^T  =  R [ sum_n w_final x x^T ] R^T
 
-    EXACTLY.  The kernel therefore only evaluates masks (2 sparse prefix
-    rows per aperture per setting) and weighted Grams of the SHARED
-    incoming deviation rows, packed 16 settings at a time onto the MXU's
-    128 sublanes; the per-setting map applications collapse into one tiny
-    per-setting sandwich in XLA afterwards.  The dense per-setting push
-    (60-130 VPU flops/particle) never happens.
+    EXACTLY.  The kernel therefore only evaluates masks (the aperture
+    plane rows, batched over ALL settings as one MXU product) and ONE
+    weighted Gram of the 36 shared coordinate-pair rows per chunk — the
+    per-setting map applications collapse into one tiny per-setting
+    sandwich in XLA afterwards.  The dense per-setting push (60-130 VPU
+    flops/particle) never happens, and per-setting VPU work is only the
+    mask compares (see :func:`_packed_gram_kernel`).
     """
     N = particles.shape[0]
     B = scalars[0].shape[0] if scalars else weights.shape[0]
@@ -931,9 +950,66 @@ def _moment_sweep_packed_impl(entries, scalars, particles, weights):
     else:
         padded_scalars = extended
     b_pad = B + pad_b
-    groups = b_pad // _PACK_SETTINGS
 
+    # Per-aperture, per-axis plane matrices P^T (|J|, B) — the STATICALLY
+    # nonzero prefix-row cells (literal zeros drop out of the plan, so the
+    # kernel's plane FMA count tracks the map's true sparsity) plus the
+    # plane center, which pairs with aug's valid=1 row (index 7) — and
+    # bounds (B, 8) columns [x_max, y_max, 1/x_max^2, 1/y_max^2, 0...].
+    # Built once in XLA from the (B,) scalar arrays.
+    def row_columns(row_spec, center_idx):
+        rows = []
+        cols = []
+        for j in range(7):
+            cell = row_spec[j]
+            if isinstance(cell, float):
+                if cell == 0.0:
+                    continue
+                cols.append(jnp.full((b_pad,), cell, dtype))
+            else:
+                cols.append(padded_scalars[cell])
+            rows.append(j)
+        cols.append(padded_scalars[center_idx])
+        rows.append(7)
+        return jnp.stack(cols, axis=0), tuple(rows)  # (|J|, B)
+
+    plane_mats = []
+    bound_mats = []
+    shapes = []
+    row_indices = []
+    for x_row, y_row, x_idx, y_idx, cx_idx, cy_idx, shape in aperture_specs:
+        px_mat, px_rows = row_columns(x_row, cx_idx)
+        py_mat, py_rows = row_columns(y_row, cy_idx)
+        plane_mats.extend([px_mat, py_mat])
+        row_indices.append((px_rows, py_rows))
+        x_max = padded_scalars[x_idx]
+        y_max = padded_scalars[y_idx]
+        zero = jnp.zeros_like(x_max)
+        bound_mats.append(
+            jnp.stack(
+                [
+                    x_max,
+                    y_max,
+                    1.0 / (x_max * x_max),
+                    1.0 / (y_max * y_max),
+                    zero,
+                    zero,
+                    zero,
+                    zero,
+                ],
+                axis=1,
+            )  # (B, 8)
+        )
+        shapes.append(shape)
+    n_ap = len(shapes)
+
+    # VMEM budget: the kernel's live transients scale as ~2 * B * chunk
+    # * 4 bytes (one per-axis plane buffer + W); keep them under ~7 MB of
+    # the ~16 MB VMEM.
     chunk = min(_PACK_CHUNK, _round_up_int(N, 512))
+    if n_ap:
+        cap = max(512, (7 * 2**20 // (8 * b_pad)) // 512 * 512)
+        chunk = min(chunk, cap)
     pad_n = (-N) % chunk
     particles_t = jnp.moveaxis(particles, -1, -2)  # (7, N)
     valid = jnp.ones((1, N), dtype)
@@ -945,33 +1021,49 @@ def _moment_sweep_packed_impl(entries, scalars, particles, weights):
     aug = jnp.concatenate([particles_t, valid], axis=0)  # (8, N_pad)
     n_chunks = aug.shape[1] // chunk
 
-    num_scalars = len(extended)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=num_scalars,
-        grid=(groups, n_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (8, chunk), lambda g, c, *s: (0, c), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, chunk), lambda g, c, *s: (0, c), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 128, 8), lambda g, c, *s: (g, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((128, chunk), dtype)],
-    )
+    resident = lambda c: (0, 0)  # noqa: E731 — full-block, chunk-invariant
     out = pl.pallas_call(
-        partial(_packed_gram_kernel, aperture_specs, num_scalars),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((groups, 128, 8), dtype),
-    )(*padded_scalars, aug, w_row)
+        partial(
+            _packed_gram_kernel,
+            tuple(shapes),
+            tuple(row_indices),
+            n_ap,
+            b_pad,
+            chunk,
+        ),
+        grid=(n_chunks,),
+        in_specs=(
+            [
+                pl.BlockSpec(
+                    (m.shape[0], b_pad), resident, memory_space=pltpu.VMEM
+                )
+                for m in plane_mats
+            ]
+            + [
+                pl.BlockSpec((b_pad, 8), resident, memory_space=pltpu.VMEM)
+                for _ in range(n_ap)
+            ]
+            + [
+                pl.BlockSpec(
+                    (8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, chunk), lambda c: (0, c), memory_space=pltpu.VMEM
+                ),
+            ]
+        ),
+        out_specs=pl.BlockSpec(
+            (b_pad, 128), lambda c: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 128), dtype),
+    )(*plane_mats, *bound_mats, aug, w_row)
 
-    G = out.reshape(b_pad, 8, 8)[:B]  # per-setting joint Gram
-    s1_delta = G[:, 7, :7]
-    s2_delta = G[:, :7, :7]
-    w_sum = G[:, 7, 7]
+    # Row j*8+k of the kernel's 64-wide Gram is sum_n W aug_j aug_k —
+    # the symmetric joint-moment matrix is a plain reshape.
+    sym = out[:B, :64].reshape(B, 8, 8)
+    s1_delta = sym[:, 7, :7]
+    s2_delta = sym[:, :7, :7]
+    w_sum = sym[:, 7, 7]
 
     # Final-coordinate sums via the exact affine-image algebra.
     total_scalars = extended  # layout indices point into the extended list
