@@ -10,8 +10,11 @@ extensions = [
     "sphinx.ext.napoleon",
     "sphinx.ext.viewcode",
     "sphinx.ext.mathjax",
+    "myst_parser",
 ]
+
+source_suffix = {".rst": "restructuredtext", ".md": "markdown"}
 
 autodoc_member_order = "bysource"
 html_theme = "furo"
-exclude_patterns = ["_build"]
+exclude_patterns = ["_build", "examples"]

@@ -9,6 +9,9 @@ an induced slowdown and stays quiet within tolerance.
 import importlib.util
 import sys
 from pathlib import Path
+import pytest
+
+pytestmark = pytest.mark.slow
 
 spec = importlib.util.spec_from_file_location(
     "bench", Path(__file__).parent.parent / "bench.py"

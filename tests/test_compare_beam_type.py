@@ -2,6 +2,7 @@
 oracle (SURVEY.md §4 category 2; tolerances follow the reference's
 ``tests/test_compare_beam_type.py``: rtol 1e-2, atol 1e-6 on moments)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -117,12 +118,12 @@ _FULL_STATS = (
     ("alpha_x", 1e-2, 1e-6),
     ("beta_y", 1e-2, 0.0),
     ("alpha_y", 1e-2, 1e-6),
-    # Sampled emittance carries ~1/sqrt(N) statistics noise.  The
-    # reference asserted jnp.isclose with the DEFAULT atol=1e-8 — which
-    # is 3x the emittance itself, i.e. vacuous; rtol 1e-3 is the honest
-    # version of that check.
-    ("emittance_x", 1e-3, 0.0),
-    ("emittance_y", 1e-3, 0.0),
+    # Sampled emittance carries ~1/sqrt(N) statistics noise (1e-3 at the
+    # 1e6-particle twiss beam).  The reference asserted jnp.isclose with
+    # the DEFAULT atol=1e-8 — which is 3x the emittance itself, i.e.
+    # vacuous; rtol 3e-3 (~3 sigma) is the honest version of that check.
+    ("emittance_x", 3e-3, 0.0),
+    ("emittance_y", 3e-3, 0.0),
     ("mu_x", 1e-2, 1e-6),
     ("mu_y", 1e-2, 1e-6),
     ("mu_xp", 1e-2, 1e-6),
@@ -174,6 +175,8 @@ def test_cavity_from_twiss():
     cavity = lt.Cavity(**_CAVITY)
     out_param = cavity.track(lt.ParameterBeam.from_twiss(**kwargs))
     out_particle = cavity.track(
-        lt.ParticleBeam.from_twiss(num_particles=1_000_000, **kwargs)
+        lt.ParticleBeam.from_twiss(
+            num_particles=1_000_000, key=jax.random.PRNGKey(42), **kwargs
+        )
     )
     _assert_full_consistency(out_param, out_particle)

@@ -28,6 +28,8 @@ from lynx_tpu.functional import track
 
 import distributed_worker as dw
 
+pytestmark = pytest.mark.slow
+
 NPROC = 2
 
 

@@ -22,6 +22,7 @@ def test_reset_step_shapes():
     assert int(state2.step_count) == 1
 
 
+@pytest.mark.slow
 def test_vmap_over_env_instances():
     env = make_env()
     n = 32
@@ -81,6 +82,7 @@ def test_gradient_descent_improves_reward():
     assert float(value) < float(first)
 
 
+@pytest.mark.slow
 def test_batched_env_matches_vmapped():
     """The natively-batched env path must agree with vmapped per-instance
     stepping (it exists purely to engage the fast tracking paths)."""

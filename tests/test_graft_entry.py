@@ -8,6 +8,9 @@ import os
 import pathlib
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow
 
 REPO = pathlib.Path(__file__).parent.parent
 

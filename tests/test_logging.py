@@ -57,6 +57,7 @@ def test_emit_metrics_inside_jit(caplog):
     assert any("step=4" in r.message and "loss=1.5" in r.message for r in caplog.records)
 
 
+@pytest.mark.slow
 def test_env_emits_per_step_beam_metrics(caplog):
     from lynx_tpu.envs import make_env
     from lynx_tpu.envs.ares_ea import default_params
@@ -77,6 +78,7 @@ def test_env_emits_per_step_beam_metrics(caplog):
     assert "reward=" in metric_lines[0]
 
 
+@pytest.mark.slow
 def test_metrics_off_by_default(caplog):
     from lynx_tpu.envs import make_env
     from lynx_tpu.envs.ares_ea import default_params

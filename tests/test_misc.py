@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import lynx_tpu as lt
 from lynx_tpu import random as lynx_random
@@ -116,6 +117,7 @@ def test_fodo_lattice_model():
     )
 
 
+@pytest.mark.slow
 def test_particle_fidelity_sweep_example_runs():
     """examples/particle_fidelity_sweep.py end to end at tiny sizes."""
     import pathlib

@@ -214,6 +214,7 @@ def test_moment_sufficient_rejects_per_particle_elements():
     )
 
 
+@pytest.mark.slow
 def test_env_auto_routes_to_moments_and_matches_particles():
     env = make_env()
     beam = _sampled_beam(n=4000)
@@ -253,6 +254,7 @@ def test_env_moment_route_under_jit_f32():
     )
 
 
+@pytest.mark.slow
 def test_moment_route_is_differentiable():
     env = make_env()
     beam = _sampled_beam(n=1000, dtype=jnp.float32)

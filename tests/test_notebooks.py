@@ -13,6 +13,8 @@ import pathlib
 import matplotlib
 import pytest
 
+pytestmark = pytest.mark.slow
+
 matplotlib.use("Agg")
 
 NOTEBOOK_DIR = pathlib.Path(__file__).parent.parent / "docs" / "examples"

@@ -14,6 +14,8 @@ import lynx_tpu as lt
 import lynx_tpu.ops.pallas_track as pallas_track
 from lynx_tpu.accelerator.fused import element_map_builder, fused_flush_supported
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def interpreted_pallas(monkeypatch):

@@ -17,9 +17,12 @@ from lynx_tpu.parallel import (
     shard_segment,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    ),
+]
 
 
 def _flagship(batch, num_particles):

@@ -204,15 +204,18 @@ def test_packed_gram_kernel_matches_reference(
     )
 
 
+@pytest.mark.slow
 def test_packed_gram_multichunk_multigroup_parity(
     interpreted_pallas, monkeypatch
 ):
-    """N spanning several particle chunks AND B spanning several 16-setting
-    groups: the output block for group g is revisited once per chunk, so
-    this pins the (groups, n_chunks) grid order — chunk reduction innermost.
-    With the dims swapped, Pallas TPU does not preserve the output buffer
-    across the non-consecutive revisits and the accumulated moments are
-    stale/wrong (the interpreter raises 'Revisited block' for it)."""
+    """N spanning several particle chunks AND B well past one 16-setting
+    pad group: pins the cross-chunk accumulation invariant.  The v2 kernel
+    accumulates into ONE full-size resident output block (constant index
+    map), which is revisit-safe by construction; the round-4 kernel keyed
+    16-setting output blocks by a group id with the chunk loop outer,
+    revisiting each block non-consecutively — Pallas TPU does not
+    preserve output buffers across non-consecutive revisits, so it
+    silently accumulated stale data exactly at this shape (ADVICE r4)."""
     monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", True)
     monkeypatch.setattr(pallas_track, "_PACK_CHUNK", 4096)
     B = 48  # 3 groups of 16
@@ -307,6 +310,7 @@ def test_packed_vs_walk_precision_bound(interpreted_pallas, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_sweep_gradients_flow(interpreted_pallas):
     B = 4
     beam = _beam(n=500, dtype=jnp.float32)
@@ -344,6 +348,7 @@ def test_sweep_gradients_flow(interpreted_pallas):
         )
 
 
+@pytest.mark.slow
 def test_env_kernel_method_matches_particles():
     env = lt.envs.make_env() if hasattr(lt, "envs") else None
     from lynx_tpu.envs import make_env

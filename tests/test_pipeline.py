@@ -19,9 +19,12 @@ from lynx_tpu.parallel import (
     split_into_stages,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 4, reason="needs 4 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 4, reason="needs 4 (virtual) devices"
+    ),
+]
 
 
 def _lattice():

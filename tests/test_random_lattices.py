@@ -240,6 +240,7 @@ def test_transfer_maps_merged_preserves_physics(seed):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(4))
 def test_gradients_finite_at_degenerate_parameters(seed):
     """Gradients must stay finite when strengths sit EXACTLY on the branch

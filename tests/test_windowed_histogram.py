@@ -225,6 +225,7 @@ def test_screen_reading_routes_through_windowed_path(interpreted_pallas, monkeyp
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_user_level_vmap_folds_into_grid(interpreted_pallas):
     """jax.vmap over the windowed histogram must fold into the kernel's
     grid batch (custom_vmap rule) — vmapping the pallas_call directly adds
@@ -249,6 +250,7 @@ def test_user_level_vmap_folds_into_grid(interpreted_pallas):
     np.testing.assert_allclose(np.asarray(batched), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vmap_of_grad_through_windowed(interpreted_pallas):
     """vmap(grad(image loss)) — the fwd pallas_call inside the custom_vjp
     gets vmapped too; the custom_vmap rule must cover it."""
