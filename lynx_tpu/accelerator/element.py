@@ -220,6 +220,16 @@ def apply_transfer_map(tm: Array, beam: Beam) -> Beam:
             mu, cov, beam.energy, total_charge=beam.total_charge
         )
     if isinstance(beam, ParticleBeam):
+        # NOTE on the implementation choice (profiled on TPU v5 lite,
+        # round 5): an unrolled rank-1 multiply-add chain measures 277 us
+        # at (32, 1e5) as a standalone dispatch (79% of the HBM roofline,
+        # no relayout copy) but is layout-UNANCHORED — inside a
+        # lax.fori_loop XLA then picks a coordinate-minor {2,1,0} carry
+        # layout whose 7-wide minor dim runs the fused pass at ~5% lane
+        # occupancy (13 ms/iter, 20x worse).  The batched matmul's
+        # convolution pins N-minor layouts everywhere and stays within
+        # ~2.2x of the roofline in BOTH contexts, so it wins for the
+        # library.
         particles = matmul(beam.particles, jnp.swapaxes(tm, -2, -1))
         return ParticleBeam(
             particles,

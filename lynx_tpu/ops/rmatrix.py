@@ -61,12 +61,27 @@ def build_rmatrix(
                     row.append(one if i == j else zero)
             rows.append(jnp.stack(row, axis=0))
         return jnp.stack(rows, axis=0)
-    R = jnp.broadcast_to(jnp.eye(7, dtype=dtype), (*batch_shape, 7, 7))
-    for (i, j), value in entries.items():
-        R = R.at[..., i, j].set(
-            jnp.broadcast_to(jnp.asarray(value, dtype=dtype), batch_shape)
-        )
-    return R
+    # Stack-based assembly here too: the former per-entry ``.at[..., i,
+    # j].set`` chain lowered to one dynamic-update-slice op per matrix
+    # cell — ~50 of them across an EA map build at ~3.7 us each (185 us of
+    # a 622 us dispatch at B=32, profiled on TPU v5 lite).  Two nested
+    # stacks are a handful of fusable concats instead.
+    zero = jnp.zeros(batch_shape, dtype=dtype)
+    one = jnp.ones(batch_shape, dtype=dtype)
+    rows = []
+    for i in range(7):
+        row = []
+        for j in range(7):
+            if (i, j) in entries:
+                row.append(
+                    jnp.broadcast_to(
+                        jnp.asarray(entries[(i, j)], dtype=dtype), batch_shape
+                    )
+                )
+            else:
+                row.append(one if i == j else zero)
+        rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows, axis=-2)
 
 
 def _safe_div(num: Array, den: Array, fallback: Array | float = 0.0) -> Array:
