@@ -5,6 +5,7 @@ the reference suite (``tests/test_compare_ocelot.py:627-704``): an lcavity
 with rf_frequency=1.3 GHz, L=1.0377 m, V=18.15975 MV, phi0=0 at E0=6 MeV.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -148,3 +149,57 @@ def test_cavity_energy_update_propagates_downstream():
     beam = lt.ParameterBeam.from_parameters(energy=jnp.array([6e6]))
     outgoing = segment.track(beam)
     assert np.isclose(float(outgoing.energy[0]), 6e6 + 0.01815975e9)
+
+
+def test_cavity_non_zero_phase_energy_gain_and_beam_type_consistency():
+    """Nonzero-phase cavity (reference ``test_compare_ocelot.py:706-``,
+    re-anchored to physics invariants instead of a live Ocelot run):
+    the reference-energy gain is V*cos(phase_deg) exactly, and both beam
+    representations agree on all transverse moments."""
+    import lynx_tpu as lt
+
+    phase_deg = 30.0
+    voltage = 18159750.0
+    cavity = lt.Cavity(
+        length=jnp.array([1.0377]),
+        voltage=jnp.array([voltage]),
+        phase=jnp.array([phase_deg]),
+        frequency=jnp.array([1.3e9]),
+    )
+    params = dict(
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_y=jnp.array([1.75e-4]),
+        sigma_s=jnp.array([8e-6]),
+        sigma_p=jnp.array([2e-3]),
+        energy=jnp.array([6e6]),
+    )
+    parameter = lt.ParameterBeam.from_parameters(**params)
+    particle = lt.ParticleBeam.from_parameters(
+        num_particles=200_000, key=jax.random.PRNGKey(11), **params
+    )
+    out_param = cavity.track(parameter)
+    out_particle = cavity.track(particle)
+
+    expected_energy = 6e6 + voltage * np.cos(np.deg2rad(phase_deg))
+    np.testing.assert_allclose(
+        float(out_param.energy[0]), expected_energy, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(out_particle.energy[0]), expected_energy, rtol=1e-6
+    )
+    for stat in ("mu_x", "sigma_x", "mu_y", "sigma_y", "sigma_p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_param, stat)),
+            np.asarray(getattr(out_particle, stat)),
+            rtol=1e-2,
+            atol=1e-6,
+            err_msg=stat,
+        )
+    # Off-crest phase shifts the energy less than on-crest.
+    on_crest = lt.Cavity(
+        length=jnp.array([1.0377]),
+        voltage=jnp.array([voltage]),
+        phase=jnp.array([0.0]),
+        frequency=jnp.array([1.3e9]),
+    ).track(parameter)
+    assert float(on_crest.energy[0]) > float(out_param.energy[0])

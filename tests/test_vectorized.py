@@ -45,6 +45,16 @@ ELEMENT_FACTORIES = {
         k1=_vals(s, -5.0, 5.0),
         tilt=_vals(s, -0.2, 0.2),
     ),
+    # Reference test_quadrupole.py:25-128: batched misalignment (and with
+    # tilt) in 1-D and 2-D batch shapes.
+    "quadrupole_misaligned": lambda s: lt.Quadrupole(
+        length=jnp.full(s, 0.25),
+        k1=_vals(s, 1.0, 5.0),
+        tilt=_vals(s, -0.3, 0.3),
+        misalignment=jnp.stack(
+            [_vals(s, -3e-4, 3e-4), _vals(s, -2e-4, 2e-4)], axis=-1
+        ),
+    ),
     "dipole": lambda s: lt.Dipole(
         length=_vals(s, 0.4, 0.6),
         angle=_vals(s, 0.05, 0.2),
