@@ -130,3 +130,83 @@ def chain_with_scalar(fn, perturb, out_to_scalar=None):
         return args, out_to_scalar(out) * jnp.float32(1e-30)
 
     return step
+
+
+def device_op_profile(fn, *args, iters: int = 10, top: int = 20):
+    """Per-HLO-op device-time attribution of one jitted function.
+
+    Runs ``fn(*args)`` ``iters`` times under ``jax.profiler.trace`` and
+    aggregates the device-side events from the trace into a sorted
+    table — the tool every round-5 perf fix came out of (it attributed,
+    e.g., two 118-us column-strided dynamic-update-slices inside
+    ``Screen.misaligned_beam`` and a 131-us relayout copy after the
+    particle-push convolution).  Works through remotely-attached
+    backends (the axon TPU plugin emits device events; on CPU the
+    "device" rows are the host-side HLO events).
+
+    :param fn: a jittable callable; it is jitted and warmed up here.
+    :param iters: trace iterations (each op's time is averaged over them).
+    :param top: number of rows to return.
+    :return: list of ``{"name", "us_per_iter", "count_per_iter",
+        "long_name"}`` dicts, sorted by descending time.  The first row
+        is usually the whole-program event (named ``jit_...``).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    jitted = jax.jit(fn)
+    out = jitted(*args)
+    jax.block_until_ready(out)
+
+    with tempfile.TemporaryDirectory() as log_dir:
+        with trace(log_dir):
+            for _ in range(iters):
+                out = jitted(*args)
+            jax.block_until_ready(out)
+
+        files = sorted(
+            glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz")
+        )
+        if not files:  # pragma: no cover - backend without trace support
+            return []
+        with gzip.open(files[-1]) as f:
+            data = json.load(f)
+
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in data.get("traceEvents", [])
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {
+        pid for pid, name in pids.items() if name.startswith("/device")
+    } or set(pids)
+
+    durations = collections.Counter()
+    counts = collections.Counter()
+    long_names = {}
+    for e in data.get("traceEvents", []):
+        if (
+            e.get("ph") == "X"
+            and "dur" in e
+            and e.get("pid") in device_pids
+        ):
+            durations[e["name"]] += e["dur"]
+            counts[e["name"]] += 1
+            ln = e.get("args", {}).get("long_name")
+            if ln:
+                long_names.setdefault(e["name"], ln)
+
+    rows = []
+    for name, total in durations.most_common(top):
+        rows.append(
+            {
+                "name": name,
+                "us_per_iter": round(total / iters, 2),
+                "count_per_iter": counts[name] / iters,
+                "long_name": long_names.get(name, ""),
+            }
+        )
+    return rows
