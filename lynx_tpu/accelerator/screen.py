@@ -276,7 +276,7 @@ class Screen(Element):
             shift = jnp.stack(
                 [mis[..., 0], zero, mis[..., 1], zero, zero, zero, zero],
                 axis=-1,
-            )
+            ).astype(incoming.particles.dtype)  # never promote the cloud
             particles = incoming.particles - shift[..., None, :]
             return ParticleBeam(
                 particles,

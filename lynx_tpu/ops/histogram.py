@@ -156,9 +156,14 @@ def window_fits(
     win_x = min(_round_up(window_x, 8), _round_up(nx, 8))
     win_y = min(_round_up(window_y, 128), _round_up(ny, 128))
     if win_x >= nx and win_y >= ny:
+        # The rounded window covers the whole image:
+        # windowed_matmul_histogram_2d unconditionally routes this case to
+        # the plain scatter (a whole-image one-hot matmul would be far
+        # slower), so report False to match the actual routing.  This is
+        # NOT a beam-size problem — the scatter IS the fast path here.
         if not per_row:
-            return jnp.ones((), bool)
-        return jnp.ones(jnp.shape(x)[:-1], bool)
+            return jnp.zeros((), bool)
+        return jnp.zeros(jnp.shape(x)[:-1], bool)
 
     def index(v, lo, hi, n):
         scaled = (v - lo) / (hi - lo) * n

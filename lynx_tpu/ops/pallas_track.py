@@ -745,11 +745,22 @@ PARTICLE_MOMENT_SWEEP_PATH = None
 #: ``_moment_sweep_packed_impl``.
 PACKED_MOMENT_SWEEP = None
 
-#: Settings packed per MXU Gram step (fills the 128 sublanes with 16
-#: settings x 8 weighted coordinate rows).
+#: Setting-axis padding granularity of the packed kernel (and the
+#: minimum packed batch; smaller B takes the per-setting VMEM walk).
 _PACK_SETTINGS = 16
 #: Particle-chunk width of the packed kernel's grid.
 _PACK_CHUNK = 8192
+#: Max settings per packed-kernel invocation: larger sweeps run as
+#: sequential setting slabs so the kernel's (B_slab, chunk) VMEM
+#: transients stay bounded no matter how large B grows.
+_PACK_B_SLAB = 1024
+#: Scoped-VMEM budget expressed as the max B_slab x chunk element
+#: product (Mosaic's stack accounting charges the planes, masks, W and
+#: pair buffers together; 256 x 3584 compiles with ~10 MB scoped while
+#: 2048 x 512 OOMs at 21 MB, both measured on TPU v5e — so the budget
+#: is the PRODUCT, calibrated with ~20% headroom under the passing
+#: configuration).
+_PACK_ELEMS = 768 * 1024
 
 
 def _packed_prefix_rows(entries, scalars):
@@ -1003,13 +1014,15 @@ def _moment_sweep_packed_impl(entries, scalars, particles, weights):
         shapes.append(shape)
     n_ap = len(shapes)
 
-    # VMEM budget: the kernel's live transients scale as ~2 * B * chunk
-    # * 4 bytes (one per-axis plane buffer + W); keep them under ~7 MB of
-    # the ~16 MB VMEM.
-    chunk = min(_PACK_CHUNK, _round_up_int(N, 512))
-    if n_ap:
-        cap = max(512, (7 * 2**20 // (8 * b_pad)) // 512 * 512)
-        chunk = min(chunk, cap)
+    # VMEM budget: the kernel's live transients scale as ~(2 if planes
+    # else 1) * B_slab * chunk * 4 bytes (per-axis plane buffer + W);
+    # bound them by (a) capping the particle chunk and (b) slabbing the
+    # SETTING axis so arbitrarily large B never blows the ~16 MB VMEM
+    # (review r5: the former B-dependent cap floored at 512 and was
+    # skipped for aperture-free plans, growing unboundedly with B).
+    b_slab = min(b_pad, _PACK_B_SLAB)
+    cap = max(512, (_PACK_ELEMS // b_slab) // 512 * 512)
+    chunk = min(_PACK_CHUNK, _round_up_int(N, 512), cap)
     pad_n = (-N) % chunk
     particles_t = jnp.moveaxis(particles, -1, -2)  # (7, N)
     valid = jnp.ones((1, N), dtype)
@@ -1022,41 +1035,56 @@ def _moment_sweep_packed_impl(entries, scalars, particles, weights):
     n_chunks = aug.shape[1] // chunk
 
     resident = lambda c: (0, 0)  # noqa: E731 — full-block, chunk-invariant
-    out = pl.pallas_call(
-        partial(
-            _packed_gram_kernel,
-            tuple(shapes),
-            tuple(row_indices),
-            n_ap,
-            b_pad,
-            chunk,
-        ),
-        grid=(n_chunks,),
-        in_specs=(
-            [
-                pl.BlockSpec(
-                    (m.shape[0], b_pad), resident, memory_space=pltpu.VMEM
-                )
-                for m in plane_mats
-            ]
-            + [
-                pl.BlockSpec((b_pad, 8), resident, memory_space=pltpu.VMEM)
-                for _ in range(n_ap)
-            ]
-            + [
-                pl.BlockSpec(
-                    (8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (1, chunk), lambda c: (0, c), memory_space=pltpu.VMEM
-                ),
-            ]
-        ),
-        out_specs=pl.BlockSpec(
-            (b_pad, 128), lambda c: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 128), dtype),
-    )(*plane_mats, *bound_mats, aug, w_row)
+
+    def run_slab(lo, hi):
+        width = hi - lo
+        slab_planes = [m[:, lo:hi] for m in plane_mats]
+        slab_bounds = [m[lo:hi] for m in bound_mats]
+        return pl.pallas_call(
+            partial(
+                _packed_gram_kernel,
+                tuple(shapes),
+                tuple(row_indices),
+                n_ap,
+                width,
+                chunk,
+            ),
+            grid=(n_chunks,),
+            in_specs=(
+                [
+                    pl.BlockSpec(
+                        (m.shape[0], width),
+                        resident,
+                        memory_space=pltpu.VMEM,
+                    )
+                    for m in slab_planes
+                ]
+                + [
+                    pl.BlockSpec(
+                        (width, 8), resident, memory_space=pltpu.VMEM
+                    )
+                    for _ in range(n_ap)
+                ]
+                + [
+                    pl.BlockSpec(
+                        (8, chunk), lambda c: (0, c), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, chunk), lambda c: (0, c), memory_space=pltpu.VMEM
+                    ),
+                ]
+            ),
+            out_specs=pl.BlockSpec(
+                (width, 128), lambda c: (0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((width, 128), dtype),
+        )(*slab_planes, *slab_bounds, aug, w_row)
+
+    slabs = [
+        run_slab(lo, min(lo + b_slab, b_pad))
+        for lo in range(0, b_pad, b_slab)
+    ]
+    out = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
 
     # Row j*8+k of the kernel's 64-wide Gram is sum_n W aug_j aug_k —
     # the symmetric joint-moment matrix is a plain reshape.

@@ -42,30 +42,14 @@ def build_rmatrix(
     layout used by the large-batch fast path (entry writes then touch
     contiguous lanes instead of a stride-49 scatter).
     """
-    if batch_last:
-        # Stack-based assembly (no scatter): required for Pallas TPU lowering
-        # and friendlier to fusion than 13 sequential .at[].set updates.
-        zero = jnp.zeros(batch_shape, dtype=dtype)
-        one = jnp.ones(batch_shape, dtype=dtype)
-        rows = []
-        for i in range(7):
-            row = []
-            for j in range(7):
-                if (i, j) in entries:
-                    row.append(
-                        jnp.broadcast_to(
-                            jnp.asarray(entries[(i, j)], dtype=dtype), batch_shape
-                        )
-                    )
-                else:
-                    row.append(one if i == j else zero)
-            rows.append(jnp.stack(row, axis=0))
-        return jnp.stack(rows, axis=0)
-    # Stack-based assembly here too: the former per-entry ``.at[..., i,
-    # j].set`` chain lowered to one dynamic-update-slice op per matrix
-    # cell — ~50 of them across an EA map build at ~3.7 us each (185 us of
-    # a 622 us dispatch at B=32, profiled on TPU v5 lite).  Two nested
-    # stacks are a handful of fusable concats instead.
+    # Stack-based assembly in BOTH layouts (no scatter): required for the
+    # Pallas TPU lowering in batch-last, and in batch-first the former
+    # per-entry ``.at[..., i, j].set`` chain lowered to one
+    # dynamic-update-slice op per matrix cell — ~50 of them across an EA
+    # map build at ~3.7 us each (185 us of a 622 us dispatch at B=32,
+    # profiled on TPU v5 lite).  Two nested stacks are a handful of
+    # fusable concats instead.
+    col_axis, row_axis = (0, 0) if batch_last else (-1, -2)
     zero = jnp.zeros(batch_shape, dtype=dtype)
     one = jnp.ones(batch_shape, dtype=dtype)
     rows = []
@@ -80,8 +64,8 @@ def build_rmatrix(
                 )
             else:
                 row.append(one if i == j else zero)
-        rows.append(jnp.stack(row, axis=-1))
-    return jnp.stack(rows, axis=-2)
+        rows.append(jnp.stack(row, axis=col_axis))
+    return jnp.stack(rows, axis=row_axis)
 
 
 def _safe_div(num: Array, den: Array, fallback: Array | float = 0.0) -> Array:

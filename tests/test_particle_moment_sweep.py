@@ -453,3 +453,36 @@ def test_plan_rejects_active_screen():
         lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
     )
     assert plan is None
+
+
+def test_packed_b_slab_split_parity(interpreted_pallas, monkeypatch):
+    """B beyond _PACK_B_SLAB runs as sequential setting slabs (bounding
+    the kernel's VMEM transients for arbitrarily large sweeps); results
+    must equal the reference walk across the slab boundary."""
+    monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", True)
+    monkeypatch.setattr(pallas_track, "_PACK_B_SLAB", 32)
+    B = 80  # 3 slabs: 32 + 32 + 16
+    beam = _beam(n=600, dtype=jnp.float32)
+    elements = _elements(B, with_aperture=True, dtype=jnp.float32)
+    entries, scalars = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+
+    mu_k, cov_k, w_k = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", False)
+    mu_r, cov_r, w_r = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+    np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mu_k), np.asarray(mu_r), rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_k), np.asarray(cov_r), rtol=1e-3, atol=1e-13
+    )

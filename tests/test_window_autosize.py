@@ -144,14 +144,22 @@ def test_fallback_counter_works_under_jit(interpreted_pallas):
 
 
 def test_window_fits_full_window_early_exit():
-    """A window covering the whole image trivially fits (the router skips
-    windowing entirely)."""
+    """A window covering the whole image reports False: the router skips
+    windowing entirely and takes the plain scatter (which IS the fast
+    path there — a whole-image one-hot matmul would be far slower), so
+    the audit must match that routing decision."""
     x = jnp.array([0.1, 0.9])
     y = jnp.array([0.2, 0.8])
     fits = hist.window_fits(
         x, y, jnp.ones((2,)), (0.0, 1.0), (0.0, 1.0), (64, 128), (64, 128)
     )
-    assert bool(np.all(np.asarray(fits)))
+    assert not bool(np.any(np.asarray(fits)))
+    assert not bool(
+        hist.window_fits(
+            x, y, jnp.ones((2,)), (0.0, 1.0), (0.0, 1.0), (64, 128),
+            (64, 128), per_row=False,
+        )
+    )
 
 
 def test_window_fits_ignores_dead_particles():
