@@ -13,6 +13,11 @@ a winner emerges):
   chunk2048   — 4096-particle tiles, two 2048 halves (double contraction
                 depth per dot).
   i16_pretA   — both i16 and pretransA.
+  twolevel_*  — A_t one-hot factored as (hi // 8 match) & (lo % 8 match):
+                7.5x fewer compares, but the sublane repeat/tile expansions
+                relayout and it measured ~1.8x SLOWER than the dense
+                compare (0.202 vs 0.112 ms, TPU v5 lite 2026-08-21) —
+                recorded as a negative result.
 
 Workload: the flagship screen read shape (100k particles, the ARES
 (244, 950)-derived window -> (952, 256) kernel window after swap+round).
@@ -34,12 +39,56 @@ import jax
 import jax.numpy as jnp
 
 
-def make_kernel(win_x, win_y, tile_n, compare_dtype, pretrans, halves=None):
+def make_kernel(win_x, win_y, tile_n, compare_dtype, pretrans, halves=None,
+                twolevel=False):
     from jax.experimental import pallas as pl
 
     if halves is None:
         halves = 2 if tile_n % 2048 == 0 else 1
     chunk = tile_n // halves
+
+    def kernel_twolevel(lx_ref, ly_ref, out_ref):
+        """A_t built as H & L: hi-part one-hot (rows // 8) AND lo-part
+        one-hot (rows % 8) — ~(952+...)/8 + 8 rows of compares instead of
+        952, then one AND per cell.  H rows repeat 8x on sublanes via
+        pltpu.repeat-free reshape broadcasting."""
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        n_hi = win_x // 8
+        dots = []
+        for k in range(halves):
+            sl = slice(k * chunk, (k + 1) * chunk)
+            lx = lx_ref[sl]
+            ly = ly_ref[sl]
+            col_y = jax.lax.broadcasted_iota(jnp.int32, (chunk, win_y), 1)
+            B = (ly[:, None] == col_y).astype(jnp.int8)
+            hi = lx // 8
+            lo = lx - hi * 8
+            iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+            H = (hi[None, :] == iota_hi)  # (n_hi, chunk) bool
+            iota_lo = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 0)
+            L = (lo[None, :] == iota_lo)  # (8, chunk) bool
+            # A_t[8*h + l, n] = H[h, n] & L[l, n]
+            Hrep = jnp.repeat(H, 8, axis=0)          # (win_x, chunk)
+            Ltile = jnp.concatenate([L] * n_hi, 0)   # (win_x, chunk)
+            A_t = (Hrep & Ltile).astype(jnp.int8)
+            dots.append(
+                jax.lax.dot_general(
+                    A_t, B, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            )
+        acc = out_ref[...]
+        for d in dots:
+            acc = acc + d[None]
+        out_ref[...] = acc
+
+    if twolevel:
+        return kernel_twolevel
 
     def kernel(lx_ref, ly_ref, out_ref):
         @pl.when(pl.program_id(1) == 0)
@@ -104,7 +153,7 @@ def run_variant(name, spec, lx, ly, win_x, win_y):
 
     kernel = make_kernel(
         win_x, win_y, tile_n, spec["compare_dtype"], spec["pretrans"],
-        halves=spec.get("halves"),
+        halves=spec.get("halves"), twolevel=spec.get("twolevel", False),
     )
     vec_spec = pl.BlockSpec(
         (tile_n,), lambda b, i: (b * n_tiles + i,), memory_space=pltpu.VMEM
@@ -169,6 +218,8 @@ def main() -> None:
         "pretA_t8192h8": dict(tile_n=8192, compare_dtype=jnp.int32, pretrans=True, halves=8),
         "pretA_t16384h8": dict(tile_n=16384, compare_dtype=jnp.int32, pretrans=True, halves=8),
         "i16_t8192h8": dict(tile_n=8192, compare_dtype=jnp.int16, pretrans=True, halves=8),
+        "twolevel_t4096h4": dict(tile_n=4096, compare_dtype=jnp.int32, pretrans=True, halves=4, twolevel=True),
+        "twolevel_t2048h2": dict(tile_n=2048, compare_dtype=jnp.int32, pretrans=True, halves=2, twolevel=True),
     }
 
     key = jax.random.PRNGKey(0)
