@@ -49,10 +49,11 @@ def make_kernel(win_x, win_y, tile_n, compare_dtype, pretrans, halves=None,
 
     def kernel_twolevel(lx_ref, ly_ref, out_ref):
         """A_t built as H & L: hi-part one-hot (rows // 8) AND lo-part
-        one-hot (rows % 8) — ~(952+...)/8 + 8 rows of compares instead of
-        952, then one AND per cell.  H rows repeat 8x on sublanes via
-        pltpu.repeat-free reshape broadcasting."""
-        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+        one-hot (rows % 8) — win_x/8 + 8 rows of compares instead of
+        win_x, then one AND per cell, with the factors expanded to
+        (win_x, chunk) via jnp.repeat / concatenate.  Requires win_x to
+        be a multiple of 8 (the production kernel windows always are)."""
+        assert win_x % 8 == 0, "twolevel variant needs 8-aligned win_x"
 
         @pl.when(pl.program_id(1) == 0)
         def _init():
@@ -218,6 +219,8 @@ def main() -> None:
         "pretA_t8192h8": dict(tile_n=8192, compare_dtype=jnp.int32, pretrans=True, halves=8),
         "pretA_t16384h8": dict(tile_n=16384, compare_dtype=jnp.int32, pretrans=True, halves=8),
         "i16_t8192h8": dict(tile_n=8192, compare_dtype=jnp.int16, pretrans=True, halves=8),
+        # NOTE: the twolevel kernel hardcodes int32 compares and the
+        # pretransposed layout; compare_dtype/pretrans are not knobs here.
         "twolevel_t4096h4": dict(tile_n=4096, compare_dtype=jnp.int32, pretrans=True, halves=4, twolevel=True),
         "twolevel_t2048h2": dict(tile_n=2048, compare_dtype=jnp.int32, pretrans=True, halves=2, twolevel=True),
     }

@@ -134,11 +134,18 @@ def window_fits(
     per_row: bool = True,
 ) -> Array:
     """Pure audit of the windowed-histogram routing decision: True where
-    every live particle lands inside the (origin-tracked) static window —
-    i.e. the read takes the MXU fast path, False = the exact-but-~4x
-    scatter fallback.  Works on every backend (no host callback), under
-    jit, and over batches; use it to validate a working point against a
-    window size.
+    the read takes the MXU fast path, False where it takes the scatter.
+    Works on every backend (no host callback), under jit, and over
+    batches; use it to validate a working point against a window size.
+
+    False has two distinct causes: (a) a live particle lands outside the
+    origin-tracked window — the exact-but-~4x scatter FALLBACK (the perf
+    cliff this audit exists for; also what ``histogram_fallback_count``
+    counts), or (b) the rounded window covers the whole image, where the
+    router skips windowing unconditionally because the plain scatter IS
+    the fast path (a whole-image one-hot matmul would be far slower —
+    enlarging the window further can never flip this back to True).
+    Disambiguate with ``window >= bins`` when it matters.
 
     The actual routing inside one :func:`windowed_matmul_histogram_2d`
     call is all-or-nothing over the WHOLE batched read (one ``lax.cond``):
