@@ -216,3 +216,80 @@ def test_sharded_ppo_update_runs_and_matches():
         bool(jnp.all(jnp.isfinite(leaf)))
         for leaf in jax.tree.leaves(policy_s)
     )
+
+
+def test_packed_moment_sweep_shards_over_settings(monkeypatch):
+    """Multi-chip mode of the round-5 packed-Gram fidelity sweep: the
+    SETTING axis shards over the mesh via shard_map (each device runs
+    the kernel on its local slab against the replicated cloud — no
+    collectives), matching the unsharded sweep."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.shard_map import shard_map
+
+    import lynx_tpu.ops.pallas_track as pallas_track
+    from lynx_tpu.accelerator.fused import particle_moment_plan
+    from lynx_tpu.ops.pallas_track import sweep_particle_moments
+
+    monkeypatch.setattr(
+        pallas_track.pl,
+        "pallas_call",
+        functools.partial(pl.pallas_call, interpret=True),
+    )
+    monkeypatch.setattr(pallas_track, "PARTICLE_MOMENT_SWEEP_PATH", True)
+    monkeypatch.setattr(pallas_track, "PACKED_MOMENT_SWEEP", True)
+
+    B, N = 128, 1500  # 16 settings per device
+    beam = lt.ParticleBeam.from_parameters(
+        num_particles=N,
+        sigma_x=jnp.array([1.75e-4]),
+        sigma_y=jnp.array([1.75e-4]),
+        energy=jnp.array([1.073e8]),
+        key=jax.random.PRNGKey(0),
+        dtype=jnp.float32,
+    )
+    elements = [
+        lt.Drift(jnp.array([0.3])),
+        lt.Quadrupole(jnp.array([0.12]), k1=jnp.linspace(-8.0, 8.0, B)),
+        lt.Aperture(
+            x_max=jnp.array([3e-4]), y_max=jnp.array([4e-4]), is_active=True
+        ),
+        lt.Drift(jnp.array([0.4])),
+    ]
+    entries, scalars = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+    particles = beam.particles[0]
+    weights = jnp.ones((N,), jnp.float32)
+
+    mu_ref, cov_ref, w_ref = sweep_particle_moments(
+        entries, scalars, particles, weights
+    )
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("settings",))
+    pspec = jax.sharding.PartitionSpec("settings")
+    rep = jax.sharding.PartitionSpec()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(tuple(pspec for _ in scalars), rep, rep),
+        out_specs=(pspec, pspec, pspec),
+        check_rep=False,
+    )
+    def sharded_sweep(scalars, particles, weights):
+        return sweep_particle_moments(entries, scalars, particles, weights)
+
+    mu_s, cov_s, w_s = jax.jit(sharded_sweep)(
+        tuple(scalars), particles, weights
+    )
+    np.testing.assert_allclose(np.asarray(w_s), np.asarray(w_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mu_s), np.asarray(mu_ref), rtol=1e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(cov_s), np.asarray(cov_ref), rtol=1e-4, atol=1e-12
+    )
