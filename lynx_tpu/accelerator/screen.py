@@ -50,6 +50,7 @@ def screen_reading_particle(
     binning: int,
     dtype=jnp.float32,
     histogram_window=None,
+    platform: "str | None" = None,
 ) -> Array:
     """(..., H, W) histogram image of a particle beam."""
     w_bins = int(resolution[0] // binning)
@@ -83,6 +84,7 @@ def screen_reading_particle(
         bf16_exact_weights=True,
         binary_weights=beam.survival is None or SCREEN_BINARY_SURVIVAL,
         window=histogram_window,
+        platform=platform,
     )  # (..., H, W), flipped like a camera image
     return image
 

@@ -320,7 +320,7 @@ class AresEATransverseTuning:
         )
         entries, scalars = plan
         mu, cov, _ = sweep_particle_moments(
-            entries, scalars, particles, weights, platform
+            entries, scalars, particles, weights, platform, batch_size=B
         )
         return jnp.stack(
             [

@@ -105,6 +105,7 @@ def track(
                     element.pixel_size,
                     element.binning,
                     histogram_window=element.histogram_window,
+                    platform=platform,
                 )
             elif isinstance(read_beam, ParameterBeam):
                 diagnostics[element.name] = screen_reading_parameter(

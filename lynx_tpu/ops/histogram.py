@@ -34,6 +34,23 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _bin_index(v, lo, hi, n):
+    """Uniform-bin index + in-range mask for one axis (shared by the
+    scatter histogram, the windowed kernel's prologue, and the
+    window_fits audit — these MUST stay bit-identical or the audit stops
+    predicting the routing; review r5)."""
+    scaled = (v - lo) / (hi - lo) * n
+    idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, n - 1)
+    return idx, (v >= lo) & (v <= hi)
+
+
+def _window_origin(idx, live, n, win):
+    """Per-batch-row window origin: the minimum live bin index, clipped so
+    the window stays inside the image."""
+    lo = jnp.min(jnp.where(live, idx, n), axis=-1)
+    return jnp.clip(lo, 0, max(n - win, 0))
+
+
 def weighted_histogram_2d(
     x: Array,
     y: Array,
@@ -57,15 +74,8 @@ def weighted_histogram_2d(
     x_lo, x_hi = x_range
     y_lo, y_hi = y_range
 
-    def index(v, lo, hi, n):
-        scaled = (v - lo) / (hi - lo) * n
-        idx = jnp.floor(scaled).astype(jnp.int32)
-        idx = jnp.clip(idx, 0, n - 1)
-        valid = (v >= lo) & (v <= hi)
-        return idx, valid
-
-    ix, vx = index(x, x_lo, x_hi, nx)
-    iy, vy = index(y, y_lo, y_hi, ny)
+    ix, vx = _bin_index(x, x_lo, x_hi, nx)
+    iy, vy = _bin_index(y, y_lo, y_hi, ny)
     valid = vx & vy
     flat = jnp.where(valid, ix * ny + iy, nx * ny)  # overflow slot nx*ny
 
@@ -172,21 +182,12 @@ def window_fits(
             return jnp.zeros((), bool)
         return jnp.zeros(jnp.shape(x)[:-1], bool)
 
-    def index(v, lo, hi, n):
-        scaled = (v - lo) / (hi - lo) * n
-        idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, n - 1)
-        return idx, (v >= lo) & (v <= hi)
-
-    ix, vx = index(x, x_range[0], x_range[1], nx)
-    iy, vy = index(y, y_range[0], y_range[1], ny)
+    ix, vx = _bin_index(x, x_range[0], x_range[1], nx)
+    iy, vy = _bin_index(y, y_range[0], y_range[1], ny)
     live = (vx & vy) & (jnp.broadcast_to(weights, ix.shape) != 0)
 
-    def origin(idx, n, win):
-        lo = jnp.min(jnp.where(live, idx, n), axis=-1)
-        return jnp.clip(lo, 0, max(n - win, 0))
-
-    lx = ix - origin(ix, nx, win_x)[..., None]
-    ly = iy - origin(iy, ny, win_y)[..., None]
+    lx = ix - _window_origin(ix, live, nx, win_x)[..., None]
+    ly = iy - _window_origin(iy, live, ny, win_y)[..., None]
     in_window = (lx >= 0) & (lx < win_x) & (ly >= 0) & (ly < win_y)
     fits = ~jnp.any(live & ~in_window, axis=-1)
     return fits if per_row else jnp.all(fits)
@@ -447,24 +448,21 @@ def windowed_matmul_histogram_2d(
         # Window covers the whole image: windowing buys nothing.
         return weighted_histogram_2d(x, y, weights, x_range, y_range, bins)
 
-    def index(v, lo, hi, n):
-        scaled = (v - lo) / (hi - lo) * n
-        idx = jnp.floor(scaled).astype(jnp.int32)
-        idx = jnp.clip(idx, 0, n - 1)
-        valid = (v >= lo) & (v <= hi)
-        return idx, valid
+    # Drop-in contract with the scatter path: batch dims may arrive on x
+    # OR y (review r5 — the code below derived the batch from x alone and
+    # crashed when only y carried it).  Like the scatter, weights must be
+    # broadcastable to the x/y joint batch (it cannot introduce one).
+    batch_shape = jnp.broadcast_shapes(jnp.shape(x)[:-1], jnp.shape(y)[:-1])
+    x = jnp.broadcast_to(x, (*batch_shape, jnp.shape(x)[-1]))
+    y = jnp.broadcast_to(y, (*batch_shape, jnp.shape(y)[-1]))
 
     def impl(x, y, weights, x_lo, x_hi, y_lo, y_hi):
-        ix, vx = index(x, x_lo, x_hi, nx)
-        iy, vy = index(y, y_lo, y_hi, ny)
+        ix, vx = _bin_index(x, x_lo, x_hi, nx)
+        iy, vy = _bin_index(y, y_lo, y_hi, ny)
         live = (vx & vy) & (jnp.broadcast_to(weights, ix.shape) != 0)
 
-        def origin(idx, valid_mask, n, win):
-            lo = jnp.min(jnp.where(valid_mask, idx, n), axis=-1)
-            return jnp.clip(lo, 0, max(n - win, 0))
-
-        ox = origin(ix, live, nx, win_x)
-        oy = origin(iy, live, ny, win_y)
+        ox = _window_origin(ix, live, nx, win_x)
+        oy = _window_origin(iy, live, ny, win_y)
         lx = ix - ox[..., None]
         ly = iy - oy[..., None]
         in_window = (lx >= 0) & (lx < win_x) & (ly >= 0) & (ly < win_y)
@@ -558,8 +556,8 @@ def windowed_matmul_histogram_2d(
 
     def bwd(residuals, d_out):
         x, y, weights, x_lo, x_hi, y_lo, y_hi = residuals
-        ix, vx = index(x, x_lo, x_hi, nx)
-        iy, vy = index(y, y_lo, y_hi, ny)
+        ix, vx = _bin_index(x, x_lo, x_hi, nx)
+        iy, vy = _bin_index(y, y_lo, y_hi, ny)
         valid = vx & vy
         flat = jnp.where(valid, ix * ny + iy, 0)
         d_flat = d_out.reshape(*d_out.shape[:-2], nx * ny)
@@ -594,12 +592,19 @@ def screen_histogram_2d(
     bf16_exact_weights: bool = False,
     window=None,
     binary_weights: bool = False,
+    platform: "str | None" = None,
 ) -> Array:
     """The screen-reading histogram: windowed MXU kernel on TPU (exact, with
-    a scatter fallback for oversize spots), plain scatter elsewhere."""
+    a scatter fallback for oversize spots), plain scatter elsewhere.
+    Routing resolves like the rest of the package (review r5): explicit
+    ``platform`` > the committed device of the coordinate arrays > the
+    default backend — a CPU-committed beam in a TPU process must not
+    select the Mosaic kernel."""
     use_matmul = SCREEN_MATMUL_PATH
     if use_matmul is None:
-        use_matmul = jax.default_backend() == "tpu"
+        from lynx_tpu.accelerator.segment import resolve_platform
+
+        use_matmul = resolve_platform(x, platform) == "tpu"
     if use_matmul:
         return windowed_matmul_histogram_2d(
             x, y, weights, x_range, y_range, bins,

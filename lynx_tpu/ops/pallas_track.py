@@ -682,7 +682,7 @@ def _moment_sweep_kernel(entries, num_scalars, *refs):
 def _moment_sweep_reference(entries, scalars, particles, weights):
     """Pure-XLA reference for the moment sweep (same walk, dense per-setting
     arrays) — used for CPU tests, non-TPU fallbacks and the backward pass."""
-    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    B = scalars[0].shape[0]  # public entries guarantee non-empty scalars
     coords = jnp.broadcast_to(
         jnp.moveaxis(particles, -1, -2)[None], (B, 7, particles.shape[0])
     )
@@ -754,6 +754,11 @@ _PACK_CHUNK = 8192
 #: sequential setting slabs so the kernel's (B_slab, chunk) VMEM
 #: transients stay bounded no matter how large B grows.
 _PACK_B_SLAB = 1024
+#: Settings per backward-pass slice of the moment sweep's custom VJP:
+#: the XLA reference walk it differentiates materializes (B_slice, 7, N)
+#: coordinate arrays as residuals, so the backward scans setting slices
+#: (gradients are independent across settings) to bound memory at any B.
+_BWD_SETTING_CHUNK = 64
 #: Scoped-VMEM budget expressed as the max B_slab x chunk element
 #: product (Mosaic's stack accounting charges the planes, masks, W and
 #: pair buffers together; 256 x 3584 compiles with ~10 MB scoped while
@@ -779,15 +784,7 @@ def _packed_prefix_rows(entries, scalars):
     aperture_specs = []
     for entry in entries:
         if entry[0] == "map":
-            layout = entry[1]
-            table = [
-                [
-                    cell if isinstance(cell, float) else scalars[cell]
-                    for cell in row
-                ]
-                for row in layout
-            ]
-            prefix = tbl.compose(table, prefix)
+            prefix = tbl.compose(_table_from_layout(entry[1], scalars), prefix)
         else:
             _, x_idx, y_idx, cx_idx, cy_idx, shape = entry
 
@@ -945,7 +942,7 @@ def _moment_sweep_packed_impl(entries, scalars, particles, weights):
     mask compares (see :func:`_packed_gram_kernel`).
     """
     N = particles.shape[0]
-    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    B = scalars[0].shape[0]  # public entries guarantee non-empty scalars
     dtype = particles.dtype
 
     aperture_specs, total_layout, extended = _packed_prefix_rows(
@@ -1138,6 +1135,7 @@ def fused_particle_moment_sweep(
     particles: Array,
     weights: Array,
     platform: "str | None" = None,
+    batch_size: "int | None" = None,
 ) -> Tuple[Array, Array, Array]:
     """Survival-weighted moment sums of ONE shared particle cloud observed
     under B settings, with the cloud resident in VMEM across all settings.
@@ -1169,6 +1167,19 @@ def fused_particle_moment_sweep(
     math) XLA reference walk — exactness of the forward kernel is pinned
     against that reference in tests.
     """
+    # A plan with no per-setting scalars (identity-only lattices) carries
+    # no batch information — B must come from the caller; guessing from
+    # the weights would silently produce (N, ...)-shaped output
+    # (review r5).  Synthesizing a dummy (B,) scalar makes every
+    # downstream impl derive B correctly.
+    if not scalars:
+        if batch_size is None:
+            raise ValueError(
+                "the plan has no per-setting scalars (identity-only"
+                " lattice); pass batch_size= to define the settings axis"
+            )
+        scalars = (jnp.zeros((batch_size,), particles.dtype),)
+
     use_pallas = PARTICLE_MOMENT_SWEEP_PATH
     if use_pallas is None:
         # Device-resolved routing, mirroring segment._fused_flush (ADVICE
@@ -1181,7 +1192,7 @@ def fused_particle_moment_sweep(
     if not use_pallas:
         return _moment_sweep_reference(entries, scalars, particles, weights)
 
-    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    B = scalars[0].shape[0]
     use_packed = PACKED_MOMENT_SWEEP
     if use_packed is None:
         use_packed = B >= _PACK_SETTINGS
@@ -1202,13 +1213,59 @@ def fused_particle_moment_sweep(
 
     def bwd(residuals, cotangents):
         scalars, particles, weights = residuals
-        _, vjp_fn = jax.vjp(
-            lambda s, p, w: _moment_sweep_reference(entries, s, p, w),
-            scalars,
-            particles,
-            weights,
+        n_settings = scalars[0].shape[0]
+        if n_settings <= _BWD_SETTING_CHUNK:
+            _, vjp_fn = jax.vjp(
+                lambda s, p, w: _moment_sweep_reference(entries, s, p, w),
+                scalars,
+                particles,
+                weights,
+            )
+            return vjp_fn(cotangents)
+
+        # Chunk the settings axis: the reference walk materializes dense
+        # (B_chunk, 7, N) coordinate arrays per map entry as vjp
+        # residuals, so an unchunked backward at production B x N sizes
+        # OOMs HBM even though the forward kernel never allocates them
+        # (review r5).  Settings are independent, so the backward is a
+        # scan over setting slices: scalar cotangents concatenate,
+        # particle/weight cotangents sum.
+        chunk = _BWD_SETTING_CHUNK
+        pad_b = (-n_settings) % chunk
+        n_slices = (n_settings + pad_b) // chunk
+
+        def pad_settings(v):
+            return jnp.pad(v, ((0, pad_b), *(((0, 0),) * (v.ndim - 1))))
+
+        stacked_scalars = tuple(
+            pad_settings(s).reshape(n_slices, chunk) for s in scalars
         )
-        return vjp_fn(cotangents)
+        stacked_cots = tuple(
+            pad_settings(c).reshape(n_slices, chunk, *c.shape[1:])
+            for c in cotangents
+        )
+
+        def body(carry, slice_in):
+            d_p, d_w = carry
+            s_slice, c_slice = slice_in
+            _, vjp_fn = jax.vjp(
+                lambda s, p, w: _moment_sweep_reference(entries, s, p, w),
+                s_slice,
+                particles,
+                weights,
+            )
+            ds, dp, dw = vjp_fn(c_slice)
+            return (d_p + dp, d_w + dw), ds
+
+        (d_particles, d_weights), d_scalars = jax.lax.scan(
+            body,
+            (jnp.zeros_like(particles), jnp.zeros_like(weights)),
+            (stacked_scalars, stacked_cots),
+        )
+        d_scalars = tuple(
+            d.reshape(n_slices * chunk)[:n_settings] for d in d_scalars
+        )
+        return d_scalars, d_particles, d_weights
 
     sweep.defvjp(fwd, bwd)
     return sweep(tuple(scalars), particles, weights)
@@ -1218,7 +1275,7 @@ def _moment_sweep_pallas_impl(entries, scalars, particles, weights):
     N = particles.shape[0]
     if N > MOMENT_SWEEP_MAX_PARTICLES:
         return _moment_sweep_reference(entries, scalars, particles, weights)
-    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    B = scalars[0].shape[0]  # public entries guarantee non-empty scalars
     dtype = particles.dtype
 
     pad_n = (-N) % 128
@@ -1312,6 +1369,7 @@ def sweep_particle_moments(
     particles: Array,
     weights: Array,
     platform: "str | None" = None,
+    batch_size: "int | None" = None,
 ) -> Tuple[Array, Array, Array]:
     """Numerically-hardened moment sweep: returns per-setting
     ``(mu (B, 7), cov (B, 7, 7), w_sum (B,))`` of the shared cloud after
@@ -1332,7 +1390,16 @@ def sweep_particle_moments(
     both cancellation-free.
     """
     dtype = particles.dtype
-    B = scalars[0].shape[0] if scalars else weights.shape[0]
+    if not scalars:
+        # No per-setting scalars (identity-only plan): B must come from
+        # the caller (review r5 — weights.shape[0] is the PARTICLE count).
+        if batch_size is None:
+            raise ValueError(
+                "the plan has no per-setting scalars (identity-only"
+                " lattice); pass batch_size= to define the settings axis"
+            )
+        scalars = (jnp.zeros((batch_size,), dtype),)
+    B = scalars[0].shape[0]
 
     total_w = jnp.sum(weights)
     total_w = jnp.where(total_w == 0, 1.0, total_w)
@@ -1363,14 +1430,10 @@ def sweep_particle_moments(
     s1, s2, w_sum = fused_particle_moment_sweep(
         tuple(kernel_entries), tuple(extra), delta, weights, platform
     )
-    total = jnp.where(w_sum == 0, 1.0, w_sum)
-    shift = s1 / total[..., None]
-    mu = image + shift
-    centered = s2 - w_sum[..., None, None] * (
-        shift[..., :, None] * shift[..., None, :]
-    )
-    denom = jnp.maximum(w_sum - 1.0, 1.0)
-    return mu, centered / denom[..., None, None], w_sum
+    # The deviation cloud's mean IS the shift; moments of the absolute
+    # cloud are the deviation moments re-centered on the tracked image.
+    shift, cov = particle_moments_from_sums(s1, s2, w_sum)
+    return image + shift, cov, w_sum
 
 
 def _particle_apply_kernel(layout, num_cells, *refs):

@@ -486,3 +486,63 @@ def test_packed_b_slab_split_parity(interpreted_pallas, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(cov_k), np.asarray(cov_r), rtol=1e-3, atol=1e-13
     )
+
+
+def test_identity_only_plan_requires_batch_size():
+    """A plan with no per-setting scalars carries no settings axis: the
+    sweep must demand batch_size= instead of silently shaping output by
+    the PARTICLE count (review r5)."""
+    beam = _beam(n=300, dtype=jnp.float32)
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+    identity_layout = tuple(
+        tuple(1.0 if i == j else 0.0 for j in range(7)) for i in range(7)
+    )
+    entries = (("map", identity_layout),)
+
+    with pytest.raises(ValueError, match="batch_size"):
+        sweep_particle_moments(entries, (), particles, weights)
+
+    B = 5
+    mu, cov, w = sweep_particle_moments(
+        entries, (), particles, weights, batch_size=B
+    )
+    assert mu.shape == (B, 7) and cov.shape == (B, 7, 7) and w.shape == (B,)
+    np.testing.assert_allclose(np.asarray(w), 300.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mu[0]),
+        np.asarray(mu[1]),
+        rtol=1e-7,
+        err_msg="identity plan must give identical rows",
+    )
+
+
+def test_chunked_backward_matches_unchunked(interpreted_pallas, monkeypatch):
+    """The settings-chunked backward (memory-bounding scan; review r5)
+    must produce the same gradients as the single-vjp path."""
+    B = 20
+    beam = _beam(n=400, dtype=jnp.float32)
+    particles = beam.particles[0]
+    weights = jnp.ones(particles.shape[:1], particles.dtype)
+    elements = _elements(B, with_aperture=False, dtype=jnp.float32)
+    entries, scalars = particle_moment_plan(
+        elements,
+        beam.energy,
+        lambda x: jnp.broadcast_to(jnp.reshape(jnp.asarray(x), (-1,)), (B,)),
+    )
+
+    def loss(scalars):
+        s1, s2, w = fused_particle_moment_sweep(
+            entries, scalars, particles, weights
+        )
+        mu, cov = particle_moments_from_sums(s1, s2, w)
+        return jnp.sum(cov[:, 0, 0]) + jnp.sum(mu[:, 0] ** 2)
+
+    monkeypatch.setattr(pallas_track, "_BWD_SETTING_CHUNK", 1024)
+    g_single = jax.grad(loss)(scalars)
+    monkeypatch.setattr(pallas_track, "_BWD_SETTING_CHUNK", 8)  # 3 slices
+    g_chunked = jax.grad(loss)(scalars)
+    for gs, gc in zip(g_single, g_chunked):
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(gs), rtol=1e-5, atol=1e-10
+        )

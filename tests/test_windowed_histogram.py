@@ -393,3 +393,48 @@ def test_batched_weight_gradients_match_scatter(interpreted_pallas):
     gw = jax.grad(loss_windowed)(w)
     gs = jax.grad(loss_scatter)(w)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gs), atol=1e-5)
+
+
+def test_batch_dims_on_y_only(interpreted_pallas):
+    """Drop-in contract with the scatter path: batch dims may arrive on
+    x OR y (review r5 — deriving the batch from x alone crashed the
+    y-only case; weights must broadcast to the x/y joint batch, exactly
+    like the scatter)."""
+    B, n = 2, 1_500
+    xb, yb = _spot(jax.random.PRNGKey(16), B * n, 14.0, (300.0, 250.0), BINS, RANGES)
+    xb = xb.reshape(B, n)
+    yb = yb.reshape(B, n)
+    ones = jnp.ones((B, n))
+
+    ref = weighted_histogram_2d(xb[0], yb, ones, *RANGES, BINS)
+    out = windowed_matmul_histogram_2d(xb[0], yb, ones, *RANGES, BINS)
+    assert out.shape == (B, *BINS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # ... and unbatched weights against a batched read broadcast fine.
+    out2 = windowed_matmul_histogram_2d(
+        xb[0], yb, jnp.ones((n,)), *RANGES, BINS
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-6)
+
+
+def test_screen_histogram_routes_by_platform(monkeypatch):
+    """screen_histogram_2d must resolve its path like the rest of the
+    package (review r5): platform='cpu' never enters the Pallas kernel
+    even if the windowed path would otherwise be selected."""
+    monkeypatch.setattr(hist_mod, "SCREEN_MATMUL_PATH", None)
+
+    def forbidden(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("pallas entered on the cpu route")
+
+    import lynx_tpu.ops.histogram as h
+
+    x, y = _spot(jax.random.PRNGKey(17), 1_000, 10.0, (300.0, 250.0), BINS, RANGES)
+    w = jnp.ones_like(x)
+    ref = weighted_histogram_2d(x, y, w, *RANGES, BINS)
+    monkeypatch.setattr(
+        h, "windowed_matmul_histogram_2d", forbidden
+    )
+    out = h.screen_histogram_2d(x, y, w, RANGES[0], RANGES[1], BINS,
+                                platform="cpu")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
