@@ -154,3 +154,104 @@ def test_assemble_survives_partial_failure():
     assert result["sweep_env_steps_per_s"] == 5e6
     assert result["backend"] == "tpu"
     assert result["paths"]["batched"].startswith("rc=1")
+
+
+def _floors_baseline(tmp_path, monkeypatch, backend="tpu"):
+    import json
+
+    baseline = dict(
+        BASE,
+        backend=backend,
+        serial_tracks_per_s=400.0,
+        batched_tracks_per_s=500.0,
+        sweep_env_steps_per_s=5e7,
+        particle_env_steps_per_s=9e5,
+        particle_env_kernel_steps_per_s=7.9e5,
+        scaling_efficiency_virtual=0.63,
+    )
+    path = tmp_path / "baseline.json"
+    path.write_text(json.dumps(baseline))
+    monkeypatch.setattr(bench, "BASELINE_FILE", path)
+    return baseline
+
+
+def test_retry_below_floor_remeasures_and_keeps_better(monkeypatch, tmp_path):
+    """A first-pass sample below its healthy-window floor (shared-chip
+    window noise) is re-measured once and the better sample kept."""
+    _floors_baseline(tmp_path, monkeypatch)
+    calls = []
+    monkeypatch.setattr(
+        bench,
+        "_measure_metric_in_subprocess",
+        lambda name: (calls.append(name), (650.0, "ok"))[1],
+    )
+    values = {"serial": 450.0, "batched": 120.0, "sweep": 6e7,
+              "particle_env": 1e6, "particle_env_kernel": 8e5,
+              "scaling": 0.7}
+    paths = {name: "ok" for name in values}
+    spent = bench._retry_below_floor(values, paths, "tpu")
+    assert calls == ["batched"] and spent == 1
+    assert values["batched"] == 650.0 and values["serial"] == 450.0
+
+
+def test_retry_below_floor_keeps_first_when_retry_worse(monkeypatch, tmp_path):
+    _floors_baseline(tmp_path, monkeypatch)
+    monkeypatch.setattr(
+        bench, "_measure_metric_in_subprocess", lambda name: (80.0, "ok")
+    )
+    values = {"serial": 450.0, "batched": 120.0, "sweep": 6e7,
+              "particle_env": 1e6, "particle_env_kernel": 8e5,
+              "scaling": 0.7}
+    paths = {name: "ok" for name in values}
+    bench._retry_below_floor(values, paths, "tpu")
+    assert values["batched"] == 120.0
+
+
+def test_retry_below_floor_retries_dead_metric_even_without_floors(
+    monkeypatch, tmp_path
+):
+    """With no stored baseline, only dead (None) metrics are retried."""
+    monkeypatch.setattr(bench, "BASELINE_FILE", tmp_path / "missing.json")
+    calls = []
+    monkeypatch.setattr(
+        bench,
+        "_measure_metric_in_subprocess",
+        lambda name: (calls.append(name), (99.0, "ok"))[1],
+    )
+    values = {"serial": 1.0, "batched": None, "sweep": 1.0,
+              "particle_env": 1.0, "particle_env_kernel": 1.0,
+              "scaling": 0.1}
+    paths = dict.fromkeys(values, "ok")
+    paths["batched"] = "timeout"
+    bench._retry_below_floor(values, paths, "tpu")
+    assert calls == ["batched"]
+    assert values["batched"] == 99.0 and paths["batched"] == "ok"
+
+
+def test_retry_below_floor_bounded(monkeypatch, tmp_path):
+    """A fully degraded window burns at most MAX_RETRIES extra measures."""
+    _floors_baseline(tmp_path, monkeypatch)
+    calls = []
+    monkeypatch.setattr(
+        bench,
+        "_measure_metric_in_subprocess",
+        lambda name: (calls.append(name), (None, "timeout"))[1],
+    )
+    values = dict.fromkeys(bench.METRICS, 0.0)
+    paths = dict.fromkeys(bench.METRICS, "ok")
+    spent = bench._retry_below_floor(values, paths, "tpu")
+    assert spent == bench.MAX_RETRIES and len(calls) == bench.MAX_RETRIES
+
+
+def test_retry_below_floor_ignores_mismatched_backend(monkeypatch, tmp_path):
+    """Floors recorded on another backend must not trigger re-measures
+    (a CPU run would never meet TPU floors)."""
+    _floors_baseline(tmp_path, monkeypatch, backend="tpu")
+    monkeypatch.setattr(
+        bench,
+        "_measure_metric_in_subprocess",
+        lambda name: (_ for _ in ()).throw(AssertionError("no retry")),
+    )
+    values = {name: 1.0 for name in bench.METRICS}
+    paths = dict.fromkeys(values, "ok")
+    assert bench._retry_below_floor(values, paths, "cpu") == 0
