@@ -296,6 +296,10 @@ _FLOOR_KEYS = {
     "scaling": "scaling_efficiency_virtual",
 }
 MAX_RETRIES = 3
+#: No retry STARTS after this much wall time since bench start: the guard
+#: must never push the bench past an external driver timeout and lose the
+#: JSON line (each retry can cost up to PER_METRIC_TIMEOUT_S on top).
+RETRY_DEADLINE_S = 2400.0
 
 
 def check_regression(
@@ -407,15 +411,18 @@ def _load_floors(backend: str) -> dict:
     }
 
 
-def _retry_below_floor(values: dict, paths: dict, backend: str) -> int:
+def _retry_below_floor(
+    values: dict, paths: dict, backend: str, deadline: float = float("inf")
+) -> int:
     """Window-noise guard: re-measure (once each, at most ``MAX_RETRIES``
-    total) metrics whose first sample died or came in below the stored
+    total, and never starting one past ``deadline`` on ``time.monotonic``)
+    metrics whose first sample died or came in below the stored
     healthy-window floor, keeping the better sample in ``values``/``paths``
     in place.  Returns the number of retries spent."""
     floors = _load_floors(backend)
     retries = 0
     for name in METRICS:
-        if retries >= MAX_RETRIES:
+        if retries >= MAX_RETRIES or time.monotonic() > deadline:
             break
         first = values.get(name)
         if first is not None and first >= floors.get(name, 0.0):
@@ -460,6 +467,7 @@ def main() -> None:
         print(json.dumps({"value": METRICS[args.measure_only]()}))
         return
 
+    start = time.monotonic()
     backend = _require_backend()
     values: dict = {}
     paths: dict = {}
@@ -472,7 +480,9 @@ def main() -> None:
                     " recording null for it",
                     file=sys.stderr,
                 )
-        _retry_below_floor(values, paths, backend)
+        _retry_below_floor(
+            values, paths, backend, deadline=start + RETRY_DEADLINE_S
+        )
         if not any(values.values()):
             backend = "cpu_fallback"  # every path died: tunnel, not kernels
 

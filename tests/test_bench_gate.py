@@ -255,3 +255,20 @@ def test_retry_below_floor_ignores_mismatched_backend(monkeypatch, tmp_path):
     values = {name: 1.0 for name in bench.METRICS}
     paths = dict.fromkeys(values, "ok")
     assert bench._retry_below_floor(values, paths, "cpu") == 0
+
+
+def test_retry_below_floor_respects_deadline(monkeypatch, tmp_path):
+    """No retry may start past the wall-clock deadline — the guard must
+    never push the bench past an external driver timeout."""
+    _floors_baseline(tmp_path, monkeypatch)
+    monkeypatch.setattr(
+        bench,
+        "_measure_metric_in_subprocess",
+        lambda name: (_ for _ in ()).throw(AssertionError("no retry")),
+    )
+    values = dict.fromkeys(bench.METRICS, 0.0)
+    paths = dict.fromkeys(bench.METRICS, "ok")
+    spent = bench._retry_below_floor(
+        values, paths, "tpu", deadline=bench.time.monotonic() - 1.0
+    )
+    assert spent == 0
