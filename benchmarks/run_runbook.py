@@ -46,10 +46,11 @@ STEPS = [
         [sys.executable, "benchmarks/aperture_sweep_ab.py"],
         2400,
     ),
-    # Budget > bench's internal probe (<=180 s) + measurement subprocess
-    # timeout (2100 s) + CPU-fallback run, so bench always self-terminates
-    # before the runbook's kill.
-    ("bench", [sys.executable, "bench.py", "--update-baseline"], 3600),
+    # Budget > bench's internal probe (<=180 s x 3) + per-metric
+    # measurement subprocesses + the below-floor retry pass (retries stop
+    # STARTING at 2400 s, so the last can end ~3300 s) + CPU-fallback run,
+    # so bench normally self-terminates before the runbook's kill.
+    ("bench", [sys.executable, "bench.py", "--update-baseline"], 4800),
 ]
 
 
